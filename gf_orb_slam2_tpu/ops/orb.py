@@ -1,0 +1,130 @@
+"""ORB orientation (intensity centroid) and rBRIEF descriptors, batched.
+
+TPU-native replacement for the reference's IC_Angle / computeOrbDescriptor
+(src/ORBextractor.cc:76/:107) and their CUDA twins `IC_Angle_kernel`
+(src/cuda/Fast_gpu.cu:403, warp-reduced patch moments) and `calcOrb_kernel`
+(src/cuda/Orb_gpu.cu:67, 32 threads/keypoint).
+
+Design differences (deliberately TPU-first, see SURVEY.md §7.1):
+- IC angle: instead of per-keypoint patch reductions, the patch moments m10
+  and m01 are computed for EVERY pixel as two 31x31 convolutions (one conv
+  per moment — MXU work), then sampled at keypoint locations with a single
+  gather. No per-keypoint loops, no warp reductions.
+- rBRIEF: the reference rotates a fixed 256-pair pattern per keypoint and
+  reads pixels with nearest rounding. We do the same math as one batched
+  gather of [N, 512] nearest-neighbor samples from the blurred image, then a
+  vectorized compare + bit-pack into uint32[8]. The 256-pair pattern is OUR
+  OWN (seeded Gaussian pairs, not the OpenCV learned table) — descriptors
+  are self-consistent within this framework, which is all SLAM needs.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PATCH = 31
+HALF = PATCH // 2  # 15
+
+
+@functools.lru_cache()
+def _ic_kernels():
+    """31x31 circular-mask moment kernels (x*mask, y*mask) as numpy."""
+    ys, xs = np.mgrid[-HALF : HALF + 1, -HALF : HALF + 1]
+    # per-row circular extent, as in the reference's u_max table
+    # (src/ORBextractor.cc ctor): points within radius HALF
+    mask = (xs * xs + ys * ys) <= HALF * HALF
+    kx = (xs * mask).astype(np.float32)
+    ky = (ys * mask).astype(np.float32)
+    return kx, ky
+
+
+def moment_maps(img):
+    """Dense m10/m01 maps via two 31x31 convolutions. img: [H,W] f32."""
+    kx, ky = _ic_kernels()
+    k = jnp.stack([jnp.asarray(kx), jnp.asarray(ky)], 0)[:, None]  # [2,1,31,31]
+    x = img[None, None]  # [1,1,H,W]
+    out = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0, 0], out[0, 1]  # m10, m01
+
+
+def ic_angles(img, yx):
+    """Orientation (radians) for keypoints yx [N,2] (row, col) on one level."""
+    m10, m01 = moment_maps(img)
+    y = yx[..., 0].astype(jnp.int32)
+    x = yx[..., 1].astype(jnp.int32)
+    return jnp.arctan2(m01[y, x], m10[y, x])
+
+
+# ------------------------------------------------------------------- pattern
+@functools.lru_cache()
+def brief_pattern(n_pairs=256, seed=7, sigma=None):
+    """Our rBRIEF sampling pattern: n_pairs of (p, q) offsets in the patch.
+
+    Gaussian-distributed around the center (BRIEF's G(0, S^2/25) recipe),
+    clamped to the disc so rotations up to 45° stay inside a 31x31 patch.
+    Fixed seed → identical descriptors across runs/devices.
+    """
+    if sigma is None:
+        sigma = PATCH / 5.0
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(0.0, sigma, size=(n_pairs, 2, 2))
+    lim = HALF - 2  # leave room for rotation + nearest rounding
+    r = np.sqrt((pts**2).sum(-1, keepdims=True))
+    scale = np.minimum(1.0, lim / np.maximum(r, 1e-9))
+    pts = pts * scale
+    return pts.astype(np.float32)  # [256, 2(p/q), 2(dy,dx)]
+
+
+def brief_descriptors(img_blur, yx, angles):
+    """256-bit rBRIEF → uint32[N, 8].
+
+    img_blur: [H,W] f32 Gaussian-blurred level image.
+    yx: [N,2] float (row, col) keypoint positions in level coords.
+    angles: [N] radians.
+    """
+    pat = jnp.asarray(brief_pattern())  # [256,2,2] (dy,dx)
+    c, s = jnp.cos(angles), jnp.sin(angles)  # [N]
+    # rotate offsets: dy' = dx*s + dy*c ; dx' = dx*c - dy*s (image coords)
+    dy = pat[None, :, :, 0]  # [1,256,2]
+    dx = pat[None, :, :, 1]
+    ry = dx * s[:, None, None] + dy * c[:, None, None]  # [N,256,2]
+    rx = dx * c[:, None, None] - dy * s[:, None, None]
+    py = jnp.round(yx[:, None, None, 0] + ry).astype(jnp.int32)
+    px = jnp.round(yx[:, None, None, 1] + rx).astype(jnp.int32)
+    h, w = img_blur.shape
+    py = jnp.clip(py, 0, h - 1)
+    px = jnp.clip(px, 0, w - 1)
+    vals = img_blur[py, px]  # [N,256,2]
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # [N,256]
+    bits = bits.reshape(bits.shape[0], 8, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None]
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)  # [N,8]
+
+
+@functools.lru_cache()
+def _gauss_kernel(ksize=7, sigma=2.0):
+    ax = np.arange(ksize) - ksize // 2
+    g = np.exp(-(ax**2) / (2 * sigma**2))
+    g = (g / g.sum()).astype(np.float32)
+    return g
+
+
+def gaussian_blur(img, ksize=7, sigma=2.0):
+    """Separable Gaussian blur (reference blurs each level before rBRIEF,
+    src/ORBextractor.cc:1148 GaussianBlur(…,7,7,2,2))."""
+    g = jnp.asarray(_gauss_kernel(ksize, sigma))
+    x = img[None, None]
+    kx = g[None, None, None, :]
+    ky = g[None, None, :, None]
+    x = jax.lax.conv_general_dilated(
+        x, kx, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, ky, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return x[0, 0]
