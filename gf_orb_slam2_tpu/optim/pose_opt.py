@@ -1,0 +1,125 @@
+"""Motion-only pose optimization (per-frame bundle adjustment).
+
+TPU-native replacement for Optimizer::PoseOptimization (reference:
+src/Optimizer.cc:248): g2o LM over one SE3 vertex with mono/stereo unary
+edges, 4 rounds × 10 iterations with chi2 outlier gating between rounds
+(chi2 5.991 mono / 7.815 stereo, Huber kernel).
+
+Here: batched analytic Jacobians over ALL observations at once (vmap-free
+einsum forms), Gauss-Newton on the 6-dof left-multiplicative se(3) update
+with Tikhonov damping, fixed iteration counts (jit-static), and the same
+round/gating structure. The entire solve is one XLA program — the reference's
+per-edge virtual dispatch and sparse assembly collapse into dense [N,·]
+tensor ops.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gf_orb_slam2_tpu.geometry import lie
+from gf_orb_slam2_tpu.utils.precision import einsum
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+HUBER_MONO = 2.4477  # sqrt(5.991)
+HUBER_STEREO = 2.7955  # sqrt(7.815)
+
+
+class PoseOptResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    inliers: jnp.ndarray    # [N] bool — final chi2 gate
+    n_inliers: jnp.ndarray  # int32
+    chi2: jnp.ndarray       # [N] final per-point chi2 (for diagnostics)
+
+
+def _residuals_jacobians(R, t, Xw, uv, u_right, fx, fy, cx, cy, bf):
+    """Residuals [N,3] (3rd row = stereo, zeroed for mono) and J [N,3,6].
+
+    se(3) update convention: T ← exp([rho, phi]) ∘ T (left multiplicative),
+    so ∂pc/∂xi = [ I | -hat(pc) ].
+    """
+    pc = lie.transform(R, t, Xw)
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    z = jnp.where(z < 1e-6, 1e-6, z)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    u = fx * x * iz + cx
+    v = fy * y * iz + cy
+    is_stereo = u_right >= 0
+    ur_pred = u - bf * iz
+    r = jnp.stack(
+        [u - uv[..., 0], v - uv[..., 1], jnp.where(is_stereo, ur_pred - u_right, 0.0)],
+        -1,
+    )  # [N,3]
+    zero = jnp.zeros_like(x)
+    # ∂(u,v,ur)/∂pc  [N,3,3]
+    d_pc = jnp.stack(
+        [
+            jnp.stack([fx * iz, zero, -fx * x * iz2], -1),
+            jnp.stack([zero, fy * iz, -fy * y * iz2], -1),
+            jnp.stack([fx * iz, zero, -fx * x * iz2 + bf * iz2], -1),
+        ],
+        -2,
+    )
+    d_pc = d_pc * jnp.stack([jnp.ones_like(x), jnp.ones_like(x), is_stereo.astype(x.dtype)], -1)[..., None]
+    # ∂pc/∂xi = [I | -hat(pc)]  [N,3,6]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3))
+    d_xi = jnp.concatenate([eye, -lie.hat(pc)], -1)
+    J = einsum("...ij,...jk->...ik", d_pc, d_xi)  # [N,3,6]
+    return r, J, pc[..., 2]
+
+
+def _chi2(r, inv_sigma2, is_stereo):
+    e2 = jnp.sum(r[..., :2] ** 2, -1) + jnp.where(is_stereo, r[..., 2] ** 2, 0.0)
+    return e2 * inv_sigma2
+
+
+def pose_optimization(
+    R0, t0, Xw, uv, u_right, inv_sigma2, valid,
+    fx, fy, cx, cy, bf,
+    rounds: int = 4, iters: int = 10, damping: float = 1e-5,
+):
+    """Optimize Tcw from 3D-2D(+disparity) correspondences.
+
+    Xw: [N,3] world points; uv: [N,2] observed pixels; u_right: [N] observed
+    right-cam u (<0 ⇒ monocular observation); inv_sigma2: [N] per-octave
+    information; valid: [N] initial correspondence mask.
+    Mirrors the reference's 4×10 structure: each round re-gates outliers by
+    chi2 and Huber-weights the survivors.
+    """
+    is_stereo = u_right >= 0
+    chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    delta = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
+
+    def gn_iter(carry, _):
+        R, t, inlier = carry
+        r, J, depth = _residuals_jacobians(R, t, Xw, uv, u_right, fx, fy, cx, cy, bf)
+        c2 = _chi2(r, inv_sigma2, is_stereo)
+        # Huber weight on the normalized residual norm
+        e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+        w_huber = jnp.where(e <= delta, 1.0, delta / e)
+        w = inv_sigma2 * w_huber * inlier.astype(r.dtype) * (depth > 1e-4)
+        H = einsum("n,nri,nrj->ij", w, J, J)
+        b = einsum("n,nri,nr->i", w, J, r)
+        H = H + damping * jnp.eye(6, dtype=H.dtype) * (1.0 + jnp.diag(H))
+        xi = -jnp.linalg.solve(H, b)
+        dR, dt = lie.se3_exp(xi)
+        R_new, t_new = lie.se3_compose(dR, dt, R, t)
+        return (R_new, t_new, inlier), None
+
+    R, t = R0, t0
+    inlier = valid
+    for _ in range(rounds):
+        (R, t, inlier), _ = jax.lax.scan(gn_iter, (R, t, inlier), None, length=iters)
+        r, _, depth = _residuals_jacobians(R, t, Xw, uv, u_right, fx, fy, cx, cy, bf)
+        c2 = _chi2(r, inv_sigma2, is_stereo)
+        inlier = valid & (c2 <= chi2_th) & (depth > 1e-4)
+
+    r, _, depth = _residuals_jacobians(R, t, Xw, uv, u_right, fx, fy, cx, cy, bf)
+    c2 = _chi2(r, inv_sigma2, is_stereo)
+    inliers = valid & (c2 <= chi2_th) & (depth > 1e-4)
+    return PoseOptResult(R, t, inliers, jnp.sum(inliers.astype(jnp.int32)), c2)
