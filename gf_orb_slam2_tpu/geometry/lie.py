@@ -111,7 +111,7 @@ def so3_exp(w):
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     W = hat(w)
     W2 = matmul(W, W)
-    small = theta2 < 1e-8
+    small = theta2 < 1e-3
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -127,7 +127,7 @@ def so3_log(R):
         -1,
     )
     sin_t = jnp.sin(theta)
-    small = theta[..., None] < 1e-5
+    small = theta[..., None] < 3e-2
     # near pi: fall back through quaternion log
     near_pi = theta[..., None] > (jnp.pi - 1e-3)
     scale = jnp.where(small, 0.5 + theta[..., None] ** 2 / 12.0, theta[..., None] / jnp.maximum(2.0 * sin_t[..., None], _EPS))
@@ -173,7 +173,7 @@ def se3_exp(xi):
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     W = hat(phi)
     W2 = matmul(W, W)
-    small = theta2 < 1e-8
+    small = theta2 < 1e-3
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
     C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
@@ -189,7 +189,7 @@ def se3_log(R, t):
     theta = jnp.sqrt(jnp.maximum(theta2, _EPS * _EPS))
     W = hat(phi)
     W2 = matmul(W, W)
-    small = theta2 < 1e-8
+    small = theta2 < 1e-3
     # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
@@ -228,7 +228,7 @@ def sim3_exp(xi):
     theta = jnp.sqrt(jnp.maximum(jnp.sum(phi * phi, -1), _EPS * _EPS))
     W = hat(phi)
     W2 = matmul(W, W)
-    eps = 1e-5
+    eps = 1e-3  # f32-safe: below this, general-branch cancellation dominates
     th_small = theta < eps
     sig_small = jnp.abs(sigma) < eps
     th2 = theta * theta

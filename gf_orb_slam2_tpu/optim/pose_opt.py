@@ -95,26 +95,46 @@ def pose_optimization(
     chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
     delta = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
 
-    def gn_iter(carry, _):
-        R, t, inlier = carry
+    def robust_cost(R, t, inlier):
+        """Σ huber_rho(chi2) over active observations."""
+        r, _, depth = _residuals_jacobians(R, t, Xw, uv, u_right, fx, fy, cx, cy, bf)
+        c2 = _chi2(r, inv_sigma2, is_stereo)
+        e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+        rho = jnp.where(e <= delta, c2, 2.0 * delta * e - delta * delta)
+        return jnp.sum(jnp.where(inlier & (depth > 1e-4), rho, 0.0))
+
+    def lm_iter(carry, _):
+        """Levenberg-Marquardt with step acceptance (mirrors g2o's LM loop):
+        reject cost-increasing steps and raise lambda — plain GN can stall on
+        robust-cost plateaus/local basins."""
+        R, t, inlier, lam, cost = carry
         r, J, depth = _residuals_jacobians(R, t, Xw, uv, u_right, fx, fy, cx, cy, bf)
         c2 = _chi2(r, inv_sigma2, is_stereo)
-        # Huber weight on the normalized residual norm
         e = jnp.sqrt(jnp.maximum(c2, 1e-12))
         w_huber = jnp.where(e <= delta, 1.0, delta / e)
         w = inv_sigma2 * w_huber * inlier.astype(r.dtype) * (depth > 1e-4)
         H = einsum("n,nri,nrj->ij", w, J, J)
         b = einsum("n,nri,nr->i", w, J, r)
-        H = H + damping * jnp.eye(6, dtype=H.dtype) * (1.0 + jnp.diag(H))
-        xi = -jnp.linalg.solve(H, b)
+        D = jnp.eye(6, dtype=H.dtype) * (damping + jnp.diag(H))
+        xi = -jnp.linalg.solve(H + lam * D, b)
         dR, dt = lie.se3_exp(xi)
         R_new, t_new = lie.se3_compose(dR, dt, R, t)
-        return (R_new, t_new, inlier), None
+        cost_new = robust_cost(R_new, t_new, inlier)
+        accept = cost_new < cost
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        cost = jnp.where(accept, cost_new, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-6, 1e6)
+        return (R, t, inlier, lam, cost), None
 
     R, t = R0, t0
     inlier = valid
     for _ in range(rounds):
-        (R, t, inlier), _ = jax.lax.scan(gn_iter, (R, t, inlier), None, length=iters)
+        lam = jnp.float32(1e-3)
+        cost0 = robust_cost(R, t, inlier)
+        (R, t, inlier, lam, cost0), _ = jax.lax.scan(
+            lm_iter, (R, t, inlier, lam, cost0), None, length=iters
+        )
         r, _, depth = _residuals_jacobians(R, t, Xw, uv, u_right, fx, fy, cx, cy, bf)
         c2 = _chi2(r, inv_sigma2, is_stereo)
         inlier = valid & (c2 <= chi2_th) & (depth > 1e-4)

@@ -1,0 +1,516 @@
+"""Front-end tracking: per-frame pose estimation + keyframe policy.
+
+TPU-native replacement for the Tracking class (reference: src/Tracking.cc:594
+Track, include/Tracking.h). The reference's per-frame flow — motion-model
+matching, reference-KF fallback, local-map tracking, KF decision — is kept,
+but each stage is one fused jitted device program over fixed-capacity masked
+arrays; host code only gathers map snapshots and applies the results
+(SURVEY.md §7.1 "host orchestration").
+
+Stage → reference mapping:
+- `_motion_step`   ← TrackWithMotionModel (Tracking.cc:1495): project last
+  frame's points under the constant-velocity prediction, windowed descriptor
+  match, motion-only BA.
+- `_refkf_step`    ← TrackReferenceKeyFrame (Tracking.cc:1331): brute-force
+  descriptor match vs the reference KF (replaces SearchByBoW pruning), BA.
+- `_local_step`    ← TrackLocalMap + SearchLocalPoints (Tracking.cc:1572/2174):
+  frustum-check the local-map candidate pool, projection-match the unmatched
+  keypoints, re-optimize, final inlier gate.
+- KF policy        ← NeedNewKeyFrame/CreateNewKeyFrame (Tracking.cc:1914/2008).
+- Stereo bootstrap ← StereoInitialization (Tracking.cc:1078).
+- Velocity model   ← mVelocity update (Tracking.cc:796).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gf_orb_slam2_tpu.config import SystemConfig, Sensor
+from gf_orb_slam2_tpu.geometry import lie
+from gf_orb_slam2_tpu.matching import matcher
+from gf_orb_slam2_tpu.optim import pose_opt
+from gf_orb_slam2_tpu.slammap.store import MapStore
+from gf_orb_slam2_tpu.tracking import projection
+from gf_orb_slam2_tpu.tracking.frame import Frame
+
+
+class TrackState(enum.Enum):
+    """Reference: Tracking.h:189-195 eTrackingState."""
+
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclasses.dataclass
+class TrackStats:
+    """Per-frame tracking log (reference: TrackingLog Util.hpp:187-280)."""
+
+    frame_id: int = 0
+    state: str = "OK"
+    n_features: int = 0
+    n_motion_matches: int = 0
+    n_local_points: int = 0
+    n_local_matches: int = 0
+    n_inliers: int = 0
+    created_kf: bool = False
+
+
+def _scatter_matches(m_idx, m_valid, src_rows, n_cols):
+    """Per-keypoint view of row→col matches: for each col (keypoint), the
+    matching row index or -1."""
+    cols = jnp.where(m_valid, m_idx, n_cols)
+    out = jnp.full((n_cols + 1,), -1, jnp.int32)
+    out = out.at[cols].set(jnp.where(m_valid, src_rows, -1))
+    return out[:n_cols]
+
+
+class Tracker:
+    def __init__(self, cfg: SystemConfig, store: MapStore, n_kp: int, level_scales):
+        self.cfg = cfg
+        self.store = store
+        self.n_kp = n_kp
+        self.level_scales = np.asarray(level_scales, np.float32)
+        self._scales_dev = jnp.asarray(self.level_scales)
+        self.log_scale = float(np.log(cfg.orb.scale_factor))
+        cam = cfg.camera
+        self._cam_scalars = (
+            jnp.float32(cam.fx), jnp.float32(cam.fy),
+            jnp.float32(cam.cx), jnp.float32(cam.cy), jnp.float32(cam.bf),
+        )
+        self.state = TrackState.NO_IMAGES_YET
+        self.last_frame: Optional[Frame] = None
+        self.velocity: Optional[np.ndarray] = None  # 4x4 Tcl
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = -1
+        self.n_lost = 0
+        self.relative_poses: list = []  # (frame_id, ts, T_c_refkf, ref_kf, state)
+        self.stats: list = []
+        L = cfg.capacity.max_local_points
+        self._jit_motion = jax.jit(self._motion_step_impl)
+        self._jit_refkf = jax.jit(self._refkf_step_impl)
+        self._jit_local = jax.jit(self._local_step_impl)
+
+    # ================================================== device programs
+    def _motion_step_impl(
+        self, R0, t0, R_init, t_init, pt_pos, pt_oct, pt_valid, pt_desc,
+        kp_uv, kp_oct, kp_ur, kp_valid, kp_desc, radius,
+    ):
+        """(R0,t0): extrapolated prediction — used ONLY to center the search
+        windows. (R_init,t_init): last frame's pose — the optimizer start.
+        Initializing the solve from the extrapolation compounds the weakly
+        observable lateral↔yaw valley error ×2 per frame (measured: ×2.4
+        divergence); the last pose carries it unamplified."""
+        fx, fy, cx, cy, bf = self._cam_scalars
+        pc = lie.transform(R0, t0, pt_pos)
+        z = jnp.where(jnp.abs(pc[..., 2]) < 1e-8, 1e-8, pc[..., 2])
+        uv = jnp.stack([fx * pc[..., 0] / z + cx, fy * pc[..., 1] / z + cy], -1)
+        m = matcher.search_by_projection(
+            uv, pt_oct, pt_valid & (pc[..., 2] > 0), pt_desc,
+            kp_uv, kp_oct, kp_valid, kp_desc,
+            radius=radius, level_scales=self._scales_dev,
+        )
+        n = self.n_kp
+        kp_row = _scatter_matches(m.idx, m.valid, jnp.arange(pt_pos.shape[0], dtype=jnp.int32), n)
+        kp_mp_pos = jnp.where((kp_row >= 0)[:, None], pt_pos[jnp.maximum(kp_row, 0)], 0.0)
+        kp_mp_valid = kp_row >= 0
+        inv_sigma2 = 1.0 / self._scales_dev[jnp.clip(kp_oct, 0, len(self.level_scales) - 1)] ** 2
+        res = pose_opt.pose_optimization(
+            R_init, t_init, kp_mp_pos, kp_uv, jnp.where(kp_mp_valid, kp_ur, -1.0),
+            inv_sigma2, kp_mp_valid, fx, fy, cx, cy, bf,
+            rounds=self.cfg.tracking.pose_opt_rounds,
+            iters=self.cfg.tracking.pose_opt_iters,
+        )
+        return res, kp_row, kp_mp_valid
+
+    def _refkf_step_impl(
+        self, R0, t0, ref_desc, ref_valid, ref_angle, pt_pos, pt_valid,
+        kp_uv, kp_oct, kp_ur, kp_valid, kp_desc, kp_angle,
+    ):
+        """ref rows (KF keypoints with map points) → current keypoints."""
+        m = matcher.match_all(ref_desc, ref_valid & pt_valid, kp_desc, kp_valid,
+                              th=matcher.TH_LOW, nn_ratio=0.7, mutual=False)
+        m = matcher.rotation_consistency(ref_angle, kp_angle, m)
+        n = self.n_kp
+        kp_row = _scatter_matches(m.idx, m.valid, jnp.arange(ref_desc.shape[0], dtype=jnp.int32), n)
+        kp_mp_pos = jnp.where((kp_row >= 0)[:, None], pt_pos[jnp.maximum(kp_row, 0)], 0.0)
+        kp_mp_valid = kp_row >= 0
+        fx, fy, cx, cy, bf = self._cam_scalars
+        inv_sigma2 = 1.0 / self._scales_dev[jnp.clip(kp_oct, 0, len(self.level_scales) - 1)] ** 2
+        res = pose_opt.pose_optimization(
+            R0, t0, kp_mp_pos, kp_uv, jnp.where(kp_mp_valid, kp_ur, -1.0),
+            inv_sigma2, kp_mp_valid, fx, fy, cx, cy, bf,
+        )
+        return res, kp_row, kp_mp_valid
+
+    def _local_step_impl(
+        self, R0, t0,
+        loc_pos, loc_normal, loc_mind, loc_maxd, loc_desc, loc_valid, loc_already,
+        kp_uv, kp_oct, kp_ur, kp_valid, kp_desc,
+        kp_mp_pos, kp_mp_valid, extra_radius,
+    ):
+        fx, fy, cx, cy, bf = self._cam_scalars
+        cam = self.cfg.camera
+        proj = projection.project_points(
+            R0, t0, loc_pos, loc_normal, loc_mind, loc_maxd, loc_valid,
+            fx, fy, cx, cy, cam.width, cam.height,
+            n_levels=len(self.level_scales), log_scale=self.log_scale,
+        )
+        radius = jnp.where(proj.view_cos > 0.998, 2.5, 4.0) * extra_radius
+        m = matcher.search_by_projection(
+            proj.uv, proj.pred_octave, proj.visible & ~loc_already, loc_desc,
+            kp_uv, kp_oct, kp_valid & ~kp_mp_valid, kp_desc,
+            radius=radius, level_scales=self._scales_dev,
+            th=matcher.TH_HIGH, nn_ratio=0.8,
+        )
+        n = self.n_kp
+        kp_row = _scatter_matches(m.idx, m.valid, jnp.arange(loc_pos.shape[0], dtype=jnp.int32), n)
+        new_valid = kp_mp_valid | (kp_row >= 0)
+        new_pos = jnp.where(
+            (kp_row >= 0)[:, None], loc_pos[jnp.maximum(kp_row, 0)], kp_mp_pos
+        )
+        inv_sigma2 = 1.0 / self._scales_dev[jnp.clip(kp_oct, 0, len(self.level_scales) - 1)] ** 2
+        res = pose_opt.pose_optimization(
+            R0, t0, new_pos, kp_uv, jnp.where(new_valid, kp_ur, -1.0),
+            inv_sigma2, new_valid, fx, fy, cx, cy, bf,
+        )
+        n_visible = jnp.sum(proj.visible.astype(jnp.int32))
+        return res, kp_row, new_valid, n_visible
+
+    # ================================================== host orchestration
+    def process_frame(self, frame: Frame) -> TrackStats:
+        st = TrackStats(frame_id=frame.frame_id, n_features=frame.n_kp)
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            self.state = TrackState.NOT_INITIALIZED
+            if self.cfg.sensor in (Sensor.STEREO, Sensor.RGBD):
+                if self._stereo_initialization(frame):
+                    self.state = TrackState.OK
+                    st.created_kf = True
+            st.state = self.state.name
+            self._finish_frame(frame, st)
+            return st
+
+        ok = False
+        if self.state == TrackState.OK:
+            if self.velocity is not None:
+                ok = self._track_with_motion_model(frame, st)
+            if not ok:
+                ok = self._track_reference_kf(frame, st)
+        else:  # LOST
+            ok = self._relocalize(frame, st)
+
+        if ok:
+            ok = self._track_local_map(frame, st)
+
+        if ok:
+            self.state = TrackState.OK
+            self.n_lost = 0
+            self._update_velocity(frame)
+            if self._need_new_keyframe(frame):
+                self._create_keyframe(frame)
+                st.created_kf = True
+        else:
+            self.state = TrackState.LOST
+            self.n_lost += 1
+            self.velocity = None
+        st.state = self.state.name
+        st.n_inliers = frame.n_matched
+        self._finish_frame(frame, st)
+        return st
+
+    # ---------------------------------------------------------- stages
+    def _predict_pose(self):
+        T_last = self.last_frame.pose_matrix()
+        T_pred = self.velocity @ T_last
+        return T_pred[:3, :3].copy(), T_pred[:3, 3].copy()
+
+    def _track_with_motion_model(self, frame: Frame, st: TrackStats) -> bool:
+        lf = self.last_frame
+        ids = self.store.resolve_replaced(lf.mp_ids)
+        rows = ids >= 0
+        pt_pos = np.zeros((self.n_kp, 3), np.float32)
+        pt_desc = np.zeros((self.n_kp, 8), np.uint32)
+        pt_oct = lf.octave.astype(np.int32)
+        pt_pos[rows] = self.store.point_pos[ids[rows]]
+        pt_desc[rows] = self.store.point_desc[ids[rows]]
+        R0, t0 = self._predict_pose()
+        radius = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
+        res, kp_row, kp_valid0 = self._jit_motion(
+            jnp.asarray(R0), jnp.asarray(t0),
+            jnp.asarray(lf.R), jnp.asarray(lf.t),
+            jnp.asarray(pt_pos), jnp.asarray(pt_oct), jnp.asarray(rows),
+            jnp.asarray(pt_desc),
+            jnp.asarray(frame.uv), jnp.asarray(frame.octave),
+            jnp.asarray(frame.u_right), jnp.asarray(frame.valid),
+            jnp.asarray(frame.desc), jnp.float32(radius),
+        )
+        kp_row = np.asarray(kp_row)
+        inl = np.asarray(res.inliers)
+        frame.mp_ids = np.where(kp_row >= 0, ids[np.maximum(kp_row, 0)], -1).astype(np.int32)
+        frame.mp_ids[~inl] = -1
+        frame.R = np.asarray(res.R)
+        frame.t = np.asarray(res.t)
+        st.n_motion_matches = int((kp_row >= 0).sum())
+        return int(res.n_inliers) >= 20
+
+    def _track_reference_kf(self, frame: Frame, st: TrackStats) -> bool:
+        if self.ref_kf < 0:
+            return False
+        k = self.ref_kf
+        s = self.store
+        ref_ids = s.resolve_replaced(s.kf_point[k])
+        rows = ref_ids >= 0
+        pt_pos = np.zeros((self.n_kp, 3), np.float32)
+        pt_pos[rows] = s.point_pos[ref_ids[rows]]
+        R0 = self.last_frame.R if self.last_frame is not None else np.eye(3, dtype=np.float32)
+        t0 = self.last_frame.t if self.last_frame is not None else np.zeros(3, np.float32)
+        res, kp_row, _ = self._jit_refkf(
+            jnp.asarray(R0), jnp.asarray(t0),
+            jnp.asarray(s.kf_desc[k]), jnp.asarray(rows), jnp.asarray(s.kf_angle[k]),
+            jnp.asarray(pt_pos), jnp.asarray(rows),
+            jnp.asarray(frame.uv), jnp.asarray(frame.octave),
+            jnp.asarray(frame.u_right), jnp.asarray(frame.valid),
+            jnp.asarray(frame.desc), jnp.asarray(frame.angle),
+        )
+        kp_row = np.asarray(kp_row)
+        inl = np.asarray(res.inliers)
+        frame.mp_ids = np.where(kp_row >= 0, ref_ids[np.maximum(kp_row, 0)], -1).astype(np.int32)
+        frame.mp_ids[~inl] = -1
+        frame.R = np.asarray(res.R)
+        frame.t = np.asarray(res.t)
+        return int(res.n_inliers) >= 15
+
+    def _gather_local_map(self, frame: Frame):
+        """Local map = KFs sharing points with the frame (K1) + their best
+        covisible neighbors (K2), then their points
+        (reference: UpdateLocalKeyFrames/UpdateLocalPoints Tracking.cc:2513/2485)."""
+        s = self.store
+        matched = frame.mp_ids[frame.mp_ids >= 0]
+        if matched.size == 0:
+            return None
+        obs = s.obs_kf[matched]  # [M,O]
+        flat = obs[obs >= 0]
+        if flat.size == 0:
+            return None
+        counts = np.bincount(flat, minlength=s.cap.max_keyframes)
+        k1 = np.nonzero(counts)[0]
+        # K2: neighbors of K1 in covisibility (cap 10 each, reference cap 80 total)
+        k2 = set(k1.tolist())
+        for k in k1[np.argsort(-counts[k1])][:20]:
+            for nb in s.covisible_kfs(int(k), 10):
+                k2.add(int(nb))
+            if len(k2) >= self.cfg.capacity.max_local_kfs:
+                break
+        kfs = np.fromiter(k2, int)
+        kfs = kfs[s.kf_valid[kfs]]
+        # reference keyframe := max-covis KF (Tracking.cc:2601)
+        self.ref_kf = int(k1[np.argmax(counts[k1])])
+        pts = np.unique(s.kf_point[kfs])
+        pts = pts[pts >= 0]
+        pts = pts[s.point_valid[pts]]
+        L = self.cfg.capacity.max_local_points
+        if pts.size > L:
+            # keep the most-observed points
+            order = np.argsort(-s.point_nobs[pts], kind="stable")
+            pts = pts[order[:L]]
+        return pts
+
+    def _track_local_map(self, frame: Frame, st: TrackStats) -> bool:
+        s = self.store
+        pts = self._gather_local_map(frame)
+        if pts is None:
+            return False
+        L = self.cfg.capacity.max_local_points
+        n_loc = pts.size
+        st.n_local_points = int(n_loc)
+        pad = L - n_loc
+        loc_pos = np.concatenate([s.point_pos[pts], np.zeros((pad, 3), np.float32)])
+        loc_normal = np.concatenate([s.point_normal[pts], np.zeros((pad, 3), np.float32)])
+        loc_mind = np.concatenate([s.point_min_dist[pts], np.zeros(pad, np.float32)])
+        loc_maxd = np.concatenate([s.point_max_dist[pts], np.ones(pad, np.float32)])
+        loc_desc = np.concatenate([s.point_desc[pts], np.zeros((pad, 8), np.uint32)])
+        loc_valid = np.concatenate([np.ones(n_loc, bool), np.zeros(pad, bool)])
+        already = np.concatenate([np.isin(pts, frame.mp_ids[frame.mp_ids >= 0]), np.zeros(pad, bool)])
+        # mark visible (reference IncreaseVisible in SearchLocalPoints)
+        kp_mp_pos = np.zeros((self.n_kp, 3), np.float32)
+        has = frame.mp_ids >= 0
+        kp_mp_pos[has] = s.point_pos[frame.mp_ids[has]]
+        extra_r = 2.0 if self.state == TrackState.LOST else 1.0
+        res, kp_row, new_valid, n_vis = self._jit_local(
+            jnp.asarray(frame.R), jnp.asarray(frame.t),
+            jnp.asarray(loc_pos), jnp.asarray(loc_normal), jnp.asarray(loc_mind),
+            jnp.asarray(loc_maxd), jnp.asarray(loc_desc), jnp.asarray(loc_valid),
+            jnp.asarray(already),
+            jnp.asarray(frame.uv), jnp.asarray(frame.octave),
+            jnp.asarray(frame.u_right), jnp.asarray(frame.valid),
+            jnp.asarray(frame.desc),
+            jnp.asarray(kp_mp_pos), jnp.asarray(has), jnp.float32(extra_r),
+        )
+        kp_row = np.asarray(kp_row)
+        inl = np.asarray(res.inliers)
+        pts_pad = np.concatenate([pts, np.full(pad, -1, np.int64)])
+        new_ids = np.where(kp_row >= 0, pts_pad[np.maximum(kp_row, 0)], frame.mp_ids)
+        frame.mp_ids = new_ids.astype(np.int32)
+        frame.is_outlier = (frame.mp_ids >= 0) & ~inl
+        frame.mp_ids[frame.is_outlier] = -1
+        frame.R = np.asarray(res.R)
+        frame.t = np.asarray(res.t)
+        st.n_local_matches = int((kp_row >= 0).sum())
+        # found/visible counters (reference IncreaseFound, Tracking.cc:1600)
+        tracked = frame.mp_ids[frame.mp_ids >= 0]
+        s.point_found[tracked] += 1
+        s.point_visible[pts] += 1
+        n_inl = int(res.n_inliers)
+        recently_reloc = False
+        thr = 50 if recently_reloc else self.cfg.tracking.min_inliers_local_map
+        return n_inl >= thr
+
+    def _relocalize(self, frame: Frame, st: TrackStats) -> bool:
+        """Placeholder relocalization: try reference-KF matching with the last
+        few KFs (full KFDB+EPnP reloc arrives with the place-recognition
+        module; reference: Tracking.cc:2615)."""
+        for k in reversed(self.store.valid_kf_ids()[-5:].tolist()):
+            self.ref_kf = int(k)
+            if self._track_reference_kf(frame, st):
+                return True
+        return False
+
+    # ---------------------------------------------------------- lifecycle
+    def _stereo_initialization(self, frame: Frame) -> bool:
+        if frame.n_kp < 500:
+            return False
+        s = self.store
+        frame.R = np.eye(3, dtype=np.float32)
+        frame.t = np.zeros(3, np.float32)
+        k = s.add_keyframe(
+            frame.R, frame.t, frame.uv, frame.octave, frame.angle, frame.desc,
+            frame.u_right, frame.depth, frame.valid, frame.frame_id, frame.timestamp,
+        )
+        cam = self.cfg.camera
+        good = frame.valid & (frame.depth > 0)
+        idxs = np.nonzero(good)[0]
+        for i in idxs:
+            z = float(frame.depth[i])
+            x = (frame.uv[i, 0] - cam.cx) * z / cam.fx
+            y = (frame.uv[i, 1] - cam.cy) * z / cam.fy
+            p = s.add_point(np.array([x, y, z], np.float32), frame.desc[i], first_kf=k)
+            s.add_observation(p, k, int(i))
+            frame.mp_ids[i] = p
+        for p in frame.mp_ids[frame.mp_ids >= 0]:
+            s.update_normal_and_depth(int(p), self.level_scales)
+        s.update_connections(k)
+        self.ref_kf = k
+        self.last_kf_frame_id = frame.frame_id
+        return True
+
+    def _update_velocity(self, frame: Frame):
+        T_cur = frame.pose_matrix()
+        T_last = self.last_frame.pose_matrix()
+        T_last_inv = np.eye(4, dtype=np.float32)
+        T_last_inv[:3, :3] = T_last[:3, :3].T
+        T_last_inv[:3, 3] = -T_last[:3, :3].T @ T_last[:3, 3]
+        self.velocity = T_cur @ T_last_inv
+
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        """Reference: Tracking.cc:1914. Conditions adapted: covisibility
+        ratio vs reference KF, close-point bookkeeping for stereo, frame gap."""
+        tcfg = self.cfg.tracking
+        if self.cfg.localization_only:
+            return False
+        n_kfs = len(self.store.valid_kf_ids())
+        # tracked points in reference KF (min obs 2/3)
+        s = self.store
+        min_obs = 3 if n_kfs > 2 else 2
+        ref_pts = s.kf_point[self.ref_kf]
+        ref_pts = ref_pts[ref_pts >= 0]
+        n_ref = int((s.point_nobs[ref_pts] >= min_obs).sum()) if ref_pts.size else 0
+        if n_ref == 0:
+            # degenerate early-map case (single KF: all nobs==1): fall back to
+            # the ref KF's full point count so the overlap-ratio clause works
+            n_ref = int(ref_pts.size)
+        n_tracked = frame.n_matched
+        frames_since_kf = frame.frame_id - self.last_kf_frame_id
+        if self.cfg.sensor != Sensor.MONOCULAR:
+            close_ok = (frame.depth > 0) & (frame.depth < self.close_depth_th)
+            tracked_close = int((close_ok & (frame.mp_ids >= 0)).sum())
+            untracked_close = int((close_ok & (frame.mp_ids < 0) & frame.valid).sum())
+            # reference thresholds 100/70 assume ~1000-feature budgets
+            # (Tracking.cc:1914); scale with the configured budget
+            n_feat = self.cfg.orb.n_features
+            need_close = (
+                tracked_close < max(40, int(0.1 * n_feat))
+                and untracked_close > max(25, int(0.07 * n_feat))
+            )
+        else:
+            need_close = False
+        ratio = 0.75 if n_kfs > 2 else 0.4
+        if self.cfg.sensor == Sensor.MONOCULAR:
+            ratio = 0.9
+        c1a = frames_since_kf >= tcfg.max_frames_between_kf
+        c1b = frames_since_kf >= tcfg.min_frames_between_kf
+        c2 = (n_tracked < n_ref * ratio or need_close) and n_tracked > 15
+        return bool((c1a or (c1b and c2) or need_close) and n_tracked > 15)
+
+    @property
+    def close_depth_th(self) -> float:
+        cam = self.cfg.camera
+        return cam.th_depth * cam.baseline if cam.bf > 0 else 1e9
+
+    def _create_keyframe(self, frame: Frame):
+        """Reference: CreateNewKeyFrame Tracking.cc:2008 — register KF, bind
+        tracked points, spawn new close stereo points (≤100 nearest)."""
+        s = self.store
+        k = s.add_keyframe(
+            frame.R, frame.t, frame.uv, frame.octave, frame.angle, frame.desc,
+            frame.u_right, frame.depth, frame.valid, frame.frame_id, frame.timestamp,
+        )
+        has = np.nonzero(frame.mp_ids >= 0)[0]
+        for i in has:
+            s.add_observation(int(frame.mp_ids[i]), k, int(i))
+        if self.cfg.sensor != Sensor.MONOCULAR:
+            cand = np.nonzero(frame.valid & (frame.depth > 0) & (frame.mp_ids < 0))[0]
+            if cand.size:
+                order = cand[np.argsort(frame.depth[cand])]
+                n_created = 0
+                Rwc = frame.R.T
+                tw = frame.center()
+                cam = self.cfg.camera
+                for i in order:
+                    z = float(frame.depth[i])
+                    if z > self.close_depth_th and n_created >= 100:
+                        break
+                    x = (frame.uv[i, 0] - cam.cx) * z / cam.fx
+                    y = (frame.uv[i, 1] - cam.cy) * z / cam.fy
+                    pw = Rwc @ np.array([x, y, z], np.float32) + tw
+                    p = s.add_point(pw, frame.desc[i], first_kf=k)
+                    s.add_observation(p, k, int(i))
+                    s.update_normal_and_depth(p, self.level_scales)
+                    frame.mp_ids[i] = p
+                    n_created += 1
+        s.update_connections(k)
+        self.ref_kf = k
+        self.last_kf_frame_id = frame.frame_id
+
+    def _finish_frame(self, frame: Frame, st: TrackStats):
+        # store relative pose to reference KF for trajectory recomposition
+        # (reference: Tracking.cc:1029-1053)
+        if self.ref_kf >= 0 and frame.R is not None and self.state == TrackState.OK:
+            s = self.store
+            T_ref = np.eye(4, dtype=np.float32)
+            T_ref[:3, :3] = s.kf_R[self.ref_kf]
+            T_ref[:3, 3] = s.kf_t[self.ref_kf]
+            T_ref_inv = np.eye(4, dtype=np.float32)
+            T_ref_inv[:3, :3] = T_ref[:3, :3].T
+            T_ref_inv[:3, 3] = -T_ref[:3, :3].T @ T_ref[:3, 3]
+            T_rel = frame.pose_matrix() @ T_ref_inv
+            self.relative_poses.append(
+                (frame.frame_id, frame.timestamp, T_rel, self.ref_kf, self.state.name)
+            )
+        self.stats.append(st)
+        self.last_frame = frame

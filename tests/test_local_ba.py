@@ -1,0 +1,110 @@
+"""Local BA tests: noisy poses + points must converge to ground truth."""
+import jax.numpy as jnp
+import numpy as np
+
+from gf_orb_slam2_tpu.geometry import lie
+from gf_orb_slam2_tpu.optim.local_ba import LocalBAProblem, local_bundle_adjustment
+
+FX = FY = 450.0
+CX, CY = 320.0, 240.0
+BF = 45.0
+
+
+def build_problem(rng, K=6, P=300, O=8, pose_noise=0.02, pt_noise=0.05,
+                  px_noise=0.3, n_fixed=1, outlier_frac=0.0):
+    # ground truth world: points ahead of a short forward trajectory
+    gt_pts = np.stack(
+        [rng.uniform(-4, 4, P), rng.uniform(-3, 3, P), rng.uniform(4, 15, P)], -1
+    ).astype(np.float32)
+    gt_R, gt_t = [], []
+    for k in range(K):
+        xi = np.zeros(6, np.float32)
+        xi[2] = 0.25 * k  # forward steps
+        xi[4] = 0.01 * k
+        R, t = lie.se3_exp(jnp.asarray(xi))
+        gt_R.append(np.asarray(R))
+        gt_t.append(np.asarray(t))
+    gt_R, gt_t = np.stack(gt_R), np.stack(gt_t)
+
+    obs_kf = np.full((P, O), -1, np.int32)
+    obs_uv = np.zeros((P, O, 2), np.float32)
+    obs_ur = np.full((P, O), -1.0, np.float32)
+    obs_valid = np.zeros((P, O), bool)
+    for p in range(P):
+        ks = rng.choice(K, min(O, K), replace=False)
+        for o, k in enumerate(ks):
+            pc = gt_R[k] @ gt_pts[p] + gt_t[k]
+            if pc[2] < 0.5:
+                continue
+            u = FX * pc[0] / pc[2] + CX + rng.normal(0, px_noise)
+            v = FY * pc[1] / pc[2] + CY + rng.normal(0, px_noise)
+            if not (0 <= u < 640 and 0 <= v < 480):
+                continue
+            obs_kf[p, o] = k
+            obs_uv[p, o] = (u, v)
+            obs_ur[p, o] = u - BF / pc[2] + rng.normal(0, px_noise)
+            obs_valid[p, o] = True
+    if outlier_frac > 0:
+        n_out = int(outlier_frac * P * O)
+        ii = rng.integers(0, P, n_out)
+        jj = rng.integers(0, O, n_out)
+        obs_uv[ii, jj] += rng.uniform(20, 60, (n_out, 2))
+
+    # perturb initial estimates (fixed KFs stay exact)
+    init_R, init_t = gt_R.copy(), gt_t.copy()
+    for k in range(n_fixed, K):
+        xi = rng.normal(0, pose_noise, 6).astype(np.float32)
+        dR, dt = lie.se3_exp(jnp.asarray(xi))
+        init_R[k] = np.asarray(dR) @ gt_R[k]
+        init_t[k] = np.asarray(dR) @ gt_t[k] + np.asarray(dt)
+    init_pts = gt_pts + rng.normal(0, pt_noise, gt_pts.shape).astype(np.float32)
+
+    fixed = np.zeros(K, bool)
+    fixed[:n_fixed] = True
+    prob = LocalBAProblem(
+        kf_R=jnp.asarray(init_R), kf_t=jnp.asarray(init_t),
+        kf_fixed=jnp.asarray(fixed), kf_valid=jnp.ones(K, bool),
+        pt_pos=jnp.asarray(init_pts), pt_valid=jnp.ones(P, bool),
+        obs_kf=jnp.asarray(obs_kf), obs_uv=jnp.asarray(obs_uv),
+        obs_ur=jnp.asarray(obs_ur),
+        obs_inv_sigma2=jnp.ones((P, O), jnp.float32),
+        obs_valid=jnp.asarray(obs_valid),
+    )
+    return prob, gt_R, gt_t, gt_pts
+
+
+class TestLocalBA:
+    def test_converges(self):
+        rng = np.random.default_rng(0)
+        prob, gt_R, gt_t, gt_pts = build_problem(rng)
+        res = local_bundle_adjustment(prob, FX, FY, CX, CY, BF)
+        terr = np.linalg.norm(np.asarray(res.kf_t) - gt_t, axis=-1)
+        perr = np.linalg.norm(np.asarray(res.pt_pos) - gt_pts, axis=-1)
+        init_terr = np.linalg.norm(np.asarray(prob.kf_t) - gt_t, axis=-1)
+        assert terr[1:].max() < 0.01, (init_terr, terr)
+        assert np.median(perr) < 0.02
+
+    def test_fixed_kf_untouched(self):
+        rng = np.random.default_rng(1)
+        prob, gt_R, gt_t, gt_pts = build_problem(rng, n_fixed=2)
+        res = local_bundle_adjustment(prob, FX, FY, CX, CY, BF)
+        np.testing.assert_allclose(np.asarray(res.kf_t[:2]), gt_t[:2], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.kf_R[:2]), gt_R[:2], atol=1e-6)
+
+    def test_outliers_gated(self):
+        rng = np.random.default_rng(2)
+        prob, gt_R, gt_t, gt_pts = build_problem(rng, outlier_frac=0.05)
+        res = local_bundle_adjustment(prob, FX, FY, CX, CY, BF)
+        terr = np.linalg.norm(np.asarray(res.kf_t) - gt_t, axis=-1)
+        assert terr[1:].max() < 0.02
+        # outlier observations excluded from final inlier set
+        frac_in = float(np.asarray(res.obs_inlier).sum() / np.asarray(prob.obs_valid).sum())
+        assert frac_in < 0.99
+
+    def test_mono_only_observations(self):
+        rng = np.random.default_rng(3)
+        prob, gt_R, gt_t, gt_pts = build_problem(rng)
+        prob = prob._replace(obs_ur=jnp.full_like(prob.obs_ur, -1.0))
+        res = local_bundle_adjustment(prob, FX, FY, CX, CY, BF)
+        terr = np.linalg.norm(np.asarray(res.kf_t) - gt_t, axis=-1)
+        assert terr[1:].max() < 0.02
