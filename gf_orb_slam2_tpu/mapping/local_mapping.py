@@ -1,0 +1,468 @@
+"""Local mapping: per-keyframe map maintenance + local BA.
+
+TPU-native replacement for the LocalMapping thread (reference:
+src/LocalMapping.cc:120 Run loop). The reference runs this concurrently with
+tracking under the map mutex; here it runs as a host-side pipeline stage
+invoked per inserted keyframe (SURVEY.md §2.3 P1 → host pipeline), with all
+heavy math in jitted device programs.
+
+Stage → reference mapping:
+- process_keyframe        ← ProcessNewKeyFrame (:272): point-KF association,
+  distinctive descriptors, normals, covisibility update.
+- cull_recent_points      ← MapPointCulling (:325): found-ratio < 0.25 or
+  too few observations after a KF grace period.
+- create_new_points       ← CreateNewMapPoints (:370): epipolar-guided
+  matching vs covisible KFs + DLT triangulation + acceptance checks
+  (batched device program per KF pair).
+- fuse_neighbors          ← SearchInNeighbors (:634): project-and-fuse
+  duplicates in both directions.
+- run_local_ba            ← Optimizer::LocalBundleAdjustment (Optimizer.cc:618)
+  via optim/local_ba.py; good-graph KF selection plugs in here.
+- cull_keyframes          ← KeyFrameCulling (:820): ≥90% redundancy rule.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gf_orb_slam2_tpu.config import SystemConfig, Sensor
+from gf_orb_slam2_tpu.geometry import lie, triangulate
+from gf_orb_slam2_tpu.matching import matcher, hamming
+from gf_orb_slam2_tpu.optim.local_ba import LocalBAProblem, local_bundle_adjustment
+from gf_orb_slam2_tpu.slammap.store import MapStore
+
+
+@dataclasses.dataclass
+class MappingStats:
+    """Per-KF mapping log (reference: MappingLog Util.hpp:282)."""
+
+    kf: int = -1
+    n_culled_points: int = 0
+    n_new_points: int = 0
+    n_fused: int = 0
+    n_culled_kfs: int = 0
+    ba_cost: float = 0.0
+    ba_kfs: int = 0
+    ba_points: int = 0
+
+
+class LocalMapper:
+    def __init__(self, cfg: SystemConfig, store: MapStore, n_kp: int, level_scales):
+        self.cfg = cfg
+        self.store = store
+        self.n_kp = n_kp
+        self.level_scales = np.asarray(level_scales, np.float32)
+        self._scales_dev = jnp.asarray(self.level_scales)
+        self.recent_points: List[tuple] = []  # (point_id, birth_kf)
+        cam = cfg.camera
+        self._K = np.array(
+            [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], np.float32
+        )
+        self._jit_triangulate = jax.jit(self._triangulate_pair_impl)
+        self._jit_fuse = jax.jit(self._fuse_impl)
+        self._ba_shapes = {}
+
+    # ------------------------------------------------------------- pipeline
+    def process_keyframe(self, kf: int) -> MappingStats:
+        st = MappingStats(kf=kf)
+        self._refresh_point_stats(kf)
+        st.n_culled_points = self.cull_recent_points(kf)
+        st.n_new_points = self.create_new_points(kf)
+        st.n_fused = self.fuse_neighbors(kf)
+        self.run_local_ba(kf, st)
+        st.n_culled_kfs = self.cull_keyframes(kf)
+        return st
+
+    def _refresh_point_stats(self, kf: int):
+        s = self.store
+        pts = s.kf_point[kf]
+        for p in pts[pts >= 0]:
+            s.distinctive_descriptor(int(p))
+            s.update_normal_and_depth(int(p), self.level_scales)
+        s.update_connections(kf)
+
+    # -------------------------------------------------------------- culling
+    def cull_recent_points(self, kf: int) -> int:
+        """Reference: MapPointCulling (LocalMapping.cc:325): recently created
+        points must keep found/visible ≥ 0.25 and reach ≥3 observations
+        within 2-3 KFs of creation."""
+        s = self.store
+        n_culled = 0
+        keep = []
+        for p, birth in self.recent_points:
+            if not s.point_valid[p]:
+                continue
+            age = kf - birth
+            ratio = s.point_found[p] / max(1, s.point_visible[p])
+            if ratio < 0.25:
+                s.erase_point(p)
+                n_culled += 1
+            elif age >= 2 and s.point_nobs[p] <= 2:
+                s.erase_point(p)
+                n_culled += 1
+            elif age >= 3:
+                pass  # graduated
+            else:
+                keep.append((p, birth))
+        self.recent_points = keep
+        return n_culled
+
+    # -------------------------------------------------------- triangulation
+    def _triangulate_pair_impl(
+        self, R1, t1, R2, t2,
+        uv1, oct1, desc1, free1, ur1, uv2, oct2, desc2, free2, ur2,
+    ):
+        """Epipolar-guided matching + DLT for one KF pair, fully batched.
+
+        Reference: SearchForTriangulation (ORBmatcher.cc:770) + the DLT and
+        acceptance gates in CreateNewMapPoints (LocalMapping.cc:450-560).
+        """
+        K = jnp.asarray(self._K)
+        # fundamental matrix F12 = K^-T [t]x R K^-1 with relative pose 1→2
+        R12 = R1 @ R2.T
+        t12 = t1 - R12 @ t2
+        Kinv = jnp.linalg.inv(K)
+        E = lie.hat(t12) @ R12
+        F = Kinv.T @ E @ Kinv
+        # epipolar distance of kp2 to line of kp1: l2 = F^T? (x1' F x2 = 0)
+        ones1 = jnp.concatenate([uv1, jnp.ones_like(uv1[:, :1])], -1)
+        ones2 = jnp.concatenate([uv2, jnp.ones_like(uv2[:, :1])], -1)
+        l2 = ones1 @ F  # [N1,3] line in image 2
+        num = jnp.abs(jnp.sum(l2[:, None, :] * ones2[None, :, :], -1))
+        den = jnp.sqrt(l2[:, None, 0] ** 2 + l2[:, None, 1] ** 2 + 1e-12)
+        epi_d = num / den  # [N1,N2]
+        sigma2 = self._scales_dev[jnp.clip(oct2, 0, len(self.level_scales) - 1)] ** 2
+        epi_ok = epi_d < 3.84 * jnp.sqrt(sigma2)[None, :]
+        mask = epi_ok & free1[:, None] & free2[None, :]
+        dist = hamming.distance_matrix(desc1, desc2)
+        best_idx, best, _ = hamming.masked_best2(dist, mask)
+        accept = best <= matcher.TH_LOW
+        accept = hamming.resolve_duplicates(best_idx, best, accept, uv2.shape[0])
+        # triangulate accepted pairs
+        P1 = triangulate.projection_matrix(K, R1, t1)
+        P2 = triangulate.projection_matrix(K, R2, t2)
+        uv2m = uv2[jnp.maximum(best_idx, 0)]
+        Xw = triangulate.triangulate_dlt(P1, P2, uv1, uv2m)
+        s1 = self._scales_dev[jnp.clip(oct1, 0, len(self.level_scales) - 1)] ** 2
+        s2m = sigma2[jnp.maximum(best_idx, 0)]
+        ok = triangulate.triangulation_checks(
+            Xw, R1, t1, R2, t2, uv1, uv2m, K, s1, s2m,
+        )
+        return Xw, best_idx, accept & ok
+
+    def create_new_points(self, kf: int) -> int:
+        """Triangulate new points between kf and its best covisible KFs."""
+        s = self.store
+        n_neigh = 10 if self.cfg.sensor != Sensor.MONOCULAR else 20
+        neighbors = s.covisible_kfs(kf, n_neigh)
+        free_k = (s.kf_point[kf] < 0) & s.kf_kp_valid[kf]
+        created = 0
+        for kn in neighbors:
+            kn = int(kn)
+            # baseline check (reference: LocalMapping.cc:410 — skip if
+            # baseline too small vs scene depth)
+            baseline = np.linalg.norm(s.kf_center(kf) - s.kf_center(kn))
+            if self.cfg.sensor != Sensor.MONOCULAR:
+                if baseline < self.cfg.camera.baseline:
+                    continue
+            free_n = (s.kf_point[kn] < 0) & s.kf_kp_valid[kn]
+            if free_k.sum() == 0 or free_n.sum() == 0:
+                continue
+            Xw, idx2, ok = self._jit_triangulate(
+                jnp.asarray(s.kf_R[kf]), jnp.asarray(s.kf_t[kf]),
+                jnp.asarray(s.kf_R[kn]), jnp.asarray(s.kf_t[kn]),
+                jnp.asarray(s.kf_uv[kf]), jnp.asarray(s.kf_octave[kf]),
+                jnp.asarray(s.kf_desc[kf]), jnp.asarray(free_k),
+                jnp.asarray(s.kf_u_right[kf]),
+                jnp.asarray(s.kf_uv[kn]), jnp.asarray(s.kf_octave[kn]),
+                jnp.asarray(s.kf_desc[kn]), jnp.asarray(free_n),
+                jnp.asarray(s.kf_u_right[kn]),
+            )
+            Xw = np.asarray(Xw)
+            idx2 = np.asarray(idx2)
+            ok = np.asarray(ok)
+            for i1 in np.nonzero(ok)[0]:
+                if s.kf_point[kf, i1] >= 0:
+                    continue  # claimed by an earlier pair this round
+                i2 = int(idx2[i1])
+                if s.kf_point[kn, i2] >= 0:
+                    continue
+                p = s.add_point(Xw[i1], s.kf_desc[kf, i1], first_kf=kf)
+                s.add_observation(p, kf, int(i1))
+                s.add_observation(p, kn, i2)
+                s.update_normal_and_depth(p, self.level_scales)
+                self.recent_points.append((p, kf))
+                created += 1
+            free_k = (s.kf_point[kf] < 0) & s.kf_kp_valid[kf]
+        if created:
+            s.update_connections(kf)
+        return created
+
+    # ------------------------------------------------------------- fusion
+    def _fuse_impl(self, R, t, pt_pos, pt_oct_hint, pt_valid, pt_desc,
+                   kp_uv, kp_oct, kp_valid, kp_desc):
+        """Project points into a KF and find fusion candidates
+        (reference: ORBmatcher::Fuse ORBmatcher.cc:937, radius 3.0)."""
+        fx = jnp.float32(self.cfg.camera.fx)
+        fy = jnp.float32(self.cfg.camera.fy)
+        cx = jnp.float32(self.cfg.camera.cx)
+        cy = jnp.float32(self.cfg.camera.cy)
+        pc = lie.transform(R, t, pt_pos)
+        z = jnp.where(jnp.abs(pc[..., 2]) < 1e-8, 1e-8, pc[..., 2])
+        uv = jnp.stack([fx * pc[..., 0] / z + cx, fy * pc[..., 1] / z + cy], -1)
+        in_img = (
+            (uv[..., 0] >= 0) & (uv[..., 0] < self.cfg.camera.width)
+            & (uv[..., 1] >= 0) & (uv[..., 1] < self.cfg.camera.height)
+            & (pc[..., 2] > 0)
+        )
+        m = matcher.search_by_projection(
+            uv, pt_oct_hint, pt_valid & in_img, pt_desc,
+            kp_uv, kp_oct, kp_valid, kp_desc,
+            radius=3.0, level_scales=self._scales_dev, th=matcher.TH_LOW,
+        )
+        return m.idx, m.valid
+
+    def fuse_neighbors(self, kf: int) -> int:
+        """Reference: SearchInNeighbors (LocalMapping.cc:634) — project kf's
+        points into neighbors and vice versa; merge duplicates."""
+        s = self.store
+        neighbors = [int(k) for k in s.covisible_kfs(kf, 10)]
+        if not neighbors:
+            return 0
+        fused = 0
+        pairs = [(kf, kn) for kn in neighbors] + [(kn, kf) for kn in neighbors]
+        for src, dst in pairs:
+            pts = s.kf_point[src]
+            pts = np.unique(pts[pts >= 0])
+            pts = pts[s.point_valid[pts]]
+            if pts.size == 0:
+                continue
+            P = self.n_kp
+            pad = P - pts.size if pts.size < P else 0
+            pts = pts[:P]
+            pt_pos = np.zeros((P, 3), np.float32)
+            pt_desc = np.zeros((P, 8), np.uint32)
+            pt_valid = np.zeros(P, bool)
+            pt_pos[: pts.size] = s.point_pos[pts]
+            pt_desc[: pts.size] = s.point_desc[pts]
+            pt_valid[: pts.size] = True
+            idx, ok = self._jit_fuse(
+                jnp.asarray(s.kf_R[dst]), jnp.asarray(s.kf_t[dst]),
+                jnp.asarray(pt_pos), jnp.zeros(P, jnp.int32), jnp.asarray(pt_valid),
+                jnp.asarray(pt_desc),
+                jnp.asarray(s.kf_uv[dst]), jnp.asarray(s.kf_octave[dst]),
+                jnp.asarray(s.kf_kp_valid[dst]), jnp.asarray(s.kf_desc[dst]),
+            )
+            idx = np.asarray(idx)
+            ok = np.asarray(ok)
+            for r in np.nonzero(ok)[0]:
+                p = int(pts[r]) if r < pts.size else -1
+                if p < 0 or not s.point_valid[p]:
+                    continue
+                j = int(idx[r])
+                q = int(s.kf_point[dst, j])
+                if q >= 0 and s.point_valid[q]:
+                    if q != p:
+                        # keep the more-observed point (reference Fuse)
+                        if s.point_nobs[p] >= s.point_nobs[q]:
+                            s.replace_point(q, p)
+                        else:
+                            s.replace_point(p, q)
+                        fused += 1
+                else:
+                    s.add_observation(p, dst, j)
+        s.update_connections(kf)
+        return fused
+
+    # ------------------------------------------------------------ local BA
+    def run_local_ba(self, kf: int, st: MappingStats, good_graph_select=None):
+        """Assemble the covisibility-window BA problem and solve on device.
+
+        Reference: Optimizer::LocalBundleAdjustment (Optimizer.cc:618):
+        window = kf + covisible KFs; fixed = other KFs observing the window's
+        points. `good_graph_select` optionally reduces the free-KF set
+        (good-graph subgraph selection, selection/good_graph.py).
+        """
+        s = self.store
+        K_CAP = 16
+        O_CAP = 12
+        window = [kf] + [int(k) for k in s.covisible_kfs(kf, K_CAP - 1)]
+        window = window[:K_CAP]
+        # points seen by window
+        pts = np.unique(s.kf_point[window])
+        pts = pts[pts >= 0]
+        pts = pts[s.point_valid[pts]]
+        P_CAP = self.cfg.capacity.max_local_points
+        if pts.size > P_CAP:
+            order = np.argsort(-s.point_nobs[pts], kind="stable")
+            pts = pts[order[:P_CAP]]
+        if pts.size == 0 or len(window) < 2:
+            return
+        # fixed KFs: observe window points but not in window (cap K_CAP)
+        obs_kfs = s.obs_kf[pts]
+        all_kfs = np.unique(obs_kfs[obs_kfs >= 0])
+        fixed_kfs = [int(k) for k in all_kfs if k not in set(window)][: K_CAP]
+        kfs = window + fixed_kfs
+        K = len(kfs)
+        kf_index = {k: i for i, k in enumerate(kfs)}
+
+        P = int(pts.size)
+        obs_kf_arr = np.full((P, O_CAP), -1, np.int32)
+        obs_uv = np.zeros((P, O_CAP, 2), np.float32)
+        obs_ur = np.full((P, O_CAP), -1.0, np.float32)
+        obs_inv2 = np.ones((P, O_CAP), np.float32)
+        obs_valid = np.zeros((P, O_CAP), bool)
+        obs_slot = np.full((P, O_CAP), -1, np.int32)  # kp slot for write-back
+        inv_sig = 1.0 / self.level_scales**2
+        for pi, p in enumerate(pts):
+            o = 0
+            for si in range(s.obs_kf.shape[1]):
+                k = s.obs_kf[p, si]
+                if k < 0 or k not in kf_index or o >= O_CAP:
+                    continue
+                j = s.obs_idx[p, si]
+                ki = kf_index[k]
+                obs_kf_arr[pi, o] = ki
+                obs_uv[pi, o] = s.kf_uv[k, j]
+                obs_ur[pi, o] = s.kf_u_right[k, j]
+                obs_inv2[pi, o] = inv_sig[min(s.kf_octave[k, j], len(inv_sig) - 1)]
+                obs_valid[pi, o] = True
+                obs_slot[pi, o] = j
+                o += 1
+
+        # pad P to the jit-stable capacity bucket (powers of two) to bound
+        # recompilation counts
+        P_pad = 1 << max(8, int(np.ceil(np.log2(max(P, 1)))))
+        K_pad = 2 * K_CAP
+
+        def pad_to(arr, n, fill=0):
+            out = np.full((n,) + arr.shape[1:], fill, arr.dtype)
+            out[: arr.shape[0]] = arr
+            return out
+
+        fixed_mask = np.zeros(K_pad, bool)
+        fixed_mask[len(window): K] = True
+        # reference: KF 0 always fixed (Optimizer.cc: pKF->mnId==0)
+        for i, k in enumerate(window):
+            if k == 0:
+                fixed_mask[i] = True
+        kf_valid = np.zeros(K_pad, bool)
+        kf_valid[:K] = True
+
+        prob = LocalBAProblem(
+            kf_R=jnp.asarray(pad_to(s.kf_R[kfs], K_pad)),
+            kf_t=jnp.asarray(pad_to(s.kf_t[kfs], K_pad)),
+            kf_fixed=jnp.asarray(fixed_mask),
+            kf_valid=jnp.asarray(kf_valid),
+            pt_pos=jnp.asarray(pad_to(s.point_pos[pts], P_pad)),
+            pt_valid=jnp.asarray(pad_to(np.ones(P, bool), P_pad)),
+            obs_kf=jnp.asarray(pad_to(obs_kf_arr, P_pad, -1)),
+            obs_uv=jnp.asarray(pad_to(obs_uv, P_pad)),
+            obs_ur=jnp.asarray(pad_to(obs_ur, P_pad, -1.0)),
+            obs_inv_sigma2=jnp.asarray(pad_to(obs_inv2, P_pad, 1.0)),
+            obs_valid=jnp.asarray(pad_to(obs_valid, P_pad)),
+        )
+        cam = self.cfg.camera
+        gg = self.cfg.good_graph
+        if gg.enabled and len(window) > gg.kf_thres:
+            # GOOD GRAPH: reduce the free-KF set to the Max-logDet subgraph
+            # (reference: Find_Subgraph call, Optimizer.cc:1156; unselected
+            # free KFs become fixed — the reduced-list rebuild of
+            # Optimizer.cc:1171-1237 collapses to a mask update here).
+            import jax as _jax
+
+            from gf_orb_slam2_tpu.optim.local_ba import pose_schur_blocks
+            from gf_orb_slam2_tpu.selection.good_graph import select_subgraph
+
+            S = self._run_schur_jit(prob, cam)
+            free = jnp.asarray(~fixed_mask & kf_valid)
+            keep = jnp.zeros(K_pad, bool).at[0].set(True)  # current KF
+            sel = select_subgraph(
+                S, free, gg.subgraph_size, _jax.random.PRNGKey(kf),
+                lazier_factor=gg.lazier_factor, always_keep=keep,
+            )
+            sel_np = np.asarray(sel)
+            new_fixed = fixed_mask | (~sel_np & ~fixed_mask & kf_valid)
+            new_fixed[0] = fixed_mask[0]  # current KF stays free
+            fixed_mask = new_fixed
+            prob = prob._replace(kf_fixed=jnp.asarray(fixed_mask))
+            st.ba_kfs = int((~fixed_mask & kf_valid).sum())
+        res = self._run_ba_jit(prob, cam)
+        # ---- write back
+        kf_R = np.asarray(res.kf_R)[:K]
+        kf_t = np.asarray(res.kf_t)[:K]
+        for i, k in enumerate(kfs):
+            if not fixed_mask[i]:
+                s.set_kf_pose(k, kf_R[i], kf_t[i])
+        s.point_pos[pts] = np.asarray(res.pt_pos)[:P]
+        # outlier observation removal (reference: Optimizer.cc:1490-1520)
+        inl = np.asarray(res.obs_inlier)[:P]
+        bad_p, bad_o = np.nonzero(obs_valid & ~inl)
+        for pi, o in zip(bad_p, bad_o):
+            ki = obs_kf_arr[pi, o]
+            s.remove_observation(int(pts[pi]), int(kfs[ki]))
+        st.ba_cost = float(res.final_cost)
+        st.ba_kfs = len(window)
+        st.ba_points = P
+
+    def _run_ba_jit(self, prob: LocalBAProblem, cam):
+        key = ("ba", prob.pt_pos.shape[0], prob.kf_R.shape[0], prob.obs_kf.shape[1])
+        if key not in self._ba_shapes:
+            lb = self.cfg.local_ba
+            self._ba_shapes[key] = jax.jit(
+                lambda pr: local_bundle_adjustment(
+                    pr, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                    iters_first=lb.iters_first, iters_second=lb.iters_second,
+                )
+            )
+        return self._ba_shapes[key](prob)
+
+    def _run_schur_jit(self, prob: LocalBAProblem, cam):
+        from gf_orb_slam2_tpu.optim.local_ba import pose_schur_blocks
+
+        key = ("schur", prob.pt_pos.shape[0], prob.kf_R.shape[0], prob.obs_kf.shape[1])
+        if key not in self._ba_shapes:
+            self._ba_shapes[key] = jax.jit(
+                lambda pr: pose_schur_blocks(pr, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+            )
+        return self._ba_shapes[key](prob)
+
+    # --------------------------------------------------------- KF culling
+    def cull_keyframes(self, kf: int) -> int:
+        """Reference: KeyFrameCulling (LocalMapping.cc:820) — erase local KFs
+        whose points are ≥90% observed by ≥3 other KFs at same/finer scale."""
+        s = self.store
+        n_culled = 0
+        for k in [int(x) for x in s.covisible_kfs(kf)]:
+            if k == 0 or not s.kf_valid[k]:
+                continue
+            pts = s.kf_point[k]
+            slots = np.nonzero(pts >= 0)[0]
+            if slots.size == 0:
+                continue
+            n_redundant = 0
+            for j in slots:
+                p = pts[j]
+                if not s.point_valid[p]:
+                    continue
+                scale = s.kf_octave[k, j]
+                n_better = 0
+                for si in range(s.obs_kf.shape[1]):
+                    ko = s.obs_kf[p, si]
+                    if ko < 0 or ko == k:
+                        continue
+                    jo = s.obs_idx[p, si]
+                    if s.kf_octave[ko, jo] <= scale + 1:
+                        n_better += 1
+                        if n_better >= 3:
+                            break
+                if n_better >= 3:
+                    n_redundant += 1
+            if n_redundant > 0.9 * slots.size:
+                s.erase_keyframe(k)
+                n_culled += 1
+        return n_culled

@@ -100,6 +100,37 @@ def _chi2(r, inv_sigma2, is_stereo):
     return e2 * inv_sigma2
 
 
+def pose_schur_blocks(prob: LocalBAProblem, fx, fy, cx, cy, bf, eps=1e-2):
+    """Pose-block Schur complement S = Hpp - T Hll⁻¹ Tᵀ as [K,K,6,6].
+
+    The good-graph selection input (reference: SLAM++ builds this as the
+    'SC' matrix, NonlinearSolver_GoodGraph.h:978-1047). Computed at the
+    current linearization point with plain (non-robust) weights.
+    """
+    K = prob.kf_R.shape[0]
+    r, J_pose, J_pt, depth = _residuals(
+        prob, prob.kf_R, prob.kf_t, prob.pt_pos, fx, fy, cx, cy, bf
+    )
+    valid = prob.obs_valid & (prob.obs_kf >= 0) & prob.pt_valid[:, None] & (depth > 1e-4)
+    w = prob.obs_inv_sigma2 * valid.astype(r.dtype)
+    onehot = jax.nn.one_hot(prob.obs_kf, K, dtype=prob.kf_R.dtype)
+    wJp = w[..., None, None] * J_pose
+    M = einsum("poab,poac->pobc", wJp, J_pose)
+    Hpp = einsum("pok,pobc->kbc", onehot, M)
+    wJl = w[..., None, None] * J_pt
+    Hll = einsum("poab,poac->pbc", wJl, J_pt)
+    C = einsum("poab,poac->pobc", wJp, J_pt)
+    T1 = einsum("pok,pobc->pkbc", onehot, C)
+    Vinv = jnp.linalg.inv(
+        Hll + eps * jnp.eye(3, dtype=Hll.dtype)
+    ) * prob.pt_valid[:, None, None]
+    T1V = einsum("pkab,pbc->pkac", T1, Vinv)
+    S_cross = einsum("pkac,pmdc->kmad", T1V, T1)  # [K,K,6,6]
+    S = -S_cross
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hpp)
+    return S
+
+
 def local_bundle_adjustment(
     prob: LocalBAProblem, fx, fy, cx, cy, bf,
     iters_first: int = 5, iters_second: int = 10, damping: float = 1e-4,

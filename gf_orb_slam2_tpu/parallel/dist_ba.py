@@ -1,0 +1,171 @@
+"""Distributed bundle adjustment: point-sharded Schur reduction over a mesh.
+
+NEW capability with no reference counterpart (the reference is single-
+process; SURVEY.md §2.3 row '—'): scale BA beyond one chip by sharding map
+points (and their observation tables) across devices. Per LM iteration:
+
+  each device: residuals/Jacobians for ITS point shard → local Hpp, bp,
+  point-block inverses, T·Hll⁻¹·Tᵀ Schur contributions
+  → `psum` over the mesh (ICI collective) builds the global reduced camera
+  system S [6K,6K]
+  → every device solves the (replicated, tiny) S and back-substitutes ITS
+  points locally. No point data ever crosses chips — only [6K,6K]+[6K]
+  per iteration (~150 KB at K=64), so weak scaling is communication-light.
+
+Built with shard_map over a Mesh; the same code runs on a virtual CPU mesh
+(tests / driver dry-run) and real multi-chip slices.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gf_orb_slam2_tpu.geometry import lie
+from gf_orb_slam2_tpu.optim.local_ba import LocalBAProblem, _residuals, _chi2
+from gf_orb_slam2_tpu.parallel.mesh import DP_AXIS
+from gf_orb_slam2_tpu.utils.precision import einsum
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+HUBER_MONO = 2.4477
+HUBER_STEREO = 2.7955
+
+
+def build_distributed_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4):
+    """Returns a jitted function performing `iters` LM iterations of
+    point-sharded BA. Point-major arrays must be sharded over DP_AXIS
+    (leading dim divisible by mesh size); KF arrays are replicated."""
+
+    point_spec = P(DP_AXIS)
+    rep = P()
+
+    def shard_body(kf_R, kf_t, kf_fixed, kf_valid,
+                   pt_pos, pt_valid, obs_kf, obs_uv, obs_ur, obs_inv2, obs_valid,
+                   lam):
+        K = kf_R.shape[0]
+        prob = LocalBAProblem(
+            kf_R, kf_t, kf_fixed, kf_valid, pt_pos, pt_valid,
+            obs_kf, obs_uv, obs_ur, obs_inv2, obs_valid,
+        )
+        is_stereo = obs_ur >= 0
+        delta = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
+        onehot = jax.nn.one_hot(obs_kf, K, dtype=kf_R.dtype)
+        opt_mask = (~kf_fixed) & kf_valid
+
+        r, J_pose, J_pt, depth = _residuals(prob, kf_R, kf_t, pt_pos, fx, fy, cx, cy, bf)
+        c2 = _chi2(r, obs_inv2, is_stereo)
+        e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+        w_huber = jnp.where(e <= delta, 1.0, delta / e)
+        active = obs_valid & (obs_kf >= 0) & pt_valid[:, None] & (depth > 1e-4)
+        w = obs_inv2 * w_huber * active.astype(r.dtype)
+        pose_on = opt_mask[jnp.maximum(obs_kf, 0)]
+        Jp = J_pose * pose_on[..., None, None].astype(r.dtype)
+
+        wJp = w[..., None, None] * Jp
+        M = einsum("poab,poac->pobc", wJp, Jp)
+        Hpp_loc = einsum("pok,pobc->kbc", onehot, M)
+        vb = einsum("poab,poa->pob", wJp, r)
+        bp_loc = einsum("pok,pob->kb", onehot, vb)
+        wJl = w[..., None, None] * J_pt
+        Hll = einsum("poab,poac->pbc", wJl, J_pt)
+        bl = einsum("poab,poa->pb", wJl, r)
+        C = einsum("poab,poac->pobc", wJp, J_pt)
+        T1 = einsum("pok,pobc->pkbc", onehot, C)
+        lamHll = Hll + (damping + lam) * jnp.eye(3, dtype=Hll.dtype) * (
+            1.0 + einsum("pii->p", Hll)[:, None, None] / 3.0
+        )
+        Vinv = jnp.linalg.inv(lamHll) * pt_valid[:, None, None]
+        T1V = einsum("pkab,pbc->pkac", T1, Vinv)
+        S_cross_loc = einsum("pkac,pmdc->kmad", T1V, T1)
+        bs_corr_loc = einsum("pkac,pc->ka", T1V, bl)
+
+        # ---- THE collective: reduce the camera system over the mesh (ICI)
+        Hpp = jax.lax.psum(Hpp_loc, DP_AXIS)
+        bp = jax.lax.psum(bp_loc, DP_AXIS)
+        S_cross = jax.lax.psum(S_cross_loc, DP_AXIS)
+        bs_corr = jax.lax.psum(bs_corr_loc, DP_AXIS)
+
+        D6 = jnp.eye(6, dtype=Hpp.dtype)[None] * (
+            damping + lam + einsum("kii->k", Hpp)[:, None, None] / 6.0 * lam
+        )
+        S_blocks = -S_cross
+        S_blocks = S_blocks.at[jnp.arange(K), jnp.arange(K)].add(Hpp + D6)
+        S = S_blocks.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+        bs = (bp - bs_corr).reshape(-1)
+        act6 = jnp.repeat(opt_mask, 6)
+        S = jnp.where(act6[:, None] & act6[None, :], S, 0.0)
+        S = S + jnp.diag(jnp.where(act6, 0.0, 1.0))
+        bs = jnp.where(act6, bs, 0.0)
+        xi_p = -jnp.linalg.solve(S, bs).reshape(K, 6)
+        rhs_l = bl + einsum("pkab,ka->pb", T1, xi_p)
+        dx = -einsum("pbc,pc->pb", Vinv, rhs_l)
+
+        dR, dt = lie.se3_exp(xi_p)
+        kf_R_new, kf_t_new = lie.se3_compose(dR, dt, kf_R, kf_t)
+        pt_new = pt_pos + dx * pt_valid[:, None]
+        # global robust cost for accept/reject (psum over shards)
+        def cost_of(Rk, tk, pts):
+            rr, _, _, dd = _residuals(prob, Rk, tk, pts, fx, fy, cx, cy, bf)
+            cc = _chi2(rr, obs_inv2, is_stereo)
+            ee = jnp.sqrt(jnp.maximum(cc, 1e-12))
+            rho = jnp.where(ee <= delta, cc, 2.0 * delta * ee - delta * delta)
+            return jax.lax.psum(jnp.sum(jnp.where(active, rho, 0.0)), DP_AXIS)
+
+        cost_old = cost_of(kf_R, kf_t, pt_pos)
+        cost_new = cost_of(kf_R_new, kf_t_new, pt_new)
+        accept = cost_new < cost_old
+        kf_R = jnp.where(accept, kf_R_new, kf_R)
+        kf_t = jnp.where(accept, kf_t_new, kf_t)
+        pt_pos = jnp.where(accept, pt_new, pt_pos)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-7, 1e6)
+        return kf_R, kf_t, pt_pos, lam, cost_new
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep,
+                  point_spec, point_spec, point_spec, point_spec, point_spec,
+                  point_spec, point_spec, rep),
+        out_specs=(rep, rep, point_spec, rep, rep),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(kf_R, kf_t, kf_fixed, kf_valid,
+             pt_pos, pt_valid, obs_kf, obs_uv, obs_ur, obs_inv2, obs_valid, lam):
+        return sharded(kf_R, kf_t, kf_fixed, kf_valid,
+                       pt_pos, pt_valid, obs_kf, obs_uv, obs_ur, obs_inv2,
+                       obs_valid, lam)
+
+    return step
+
+
+def distributed_ba(mesh, prob: LocalBAProblem, fx, fy, cx, cy, bf, iters=10):
+    """Run `iters` distributed LM iterations. Arrays are placed with the
+    right shardings; returns updated (kf_R, kf_t, pt_pos, cost)."""
+    step = build_distributed_ba_step(mesh, fx, fy, cx, cy, bf)
+    point_sharding = NamedSharding(mesh, P(DP_AXIS))
+    rep_sharding = NamedSharding(mesh, P())
+    kf_R = jax.device_put(prob.kf_R, rep_sharding)
+    kf_t = jax.device_put(prob.kf_t, rep_sharding)
+    kf_fixed = jax.device_put(prob.kf_fixed, rep_sharding)
+    kf_valid = jax.device_put(prob.kf_valid, rep_sharding)
+    pt_pos = jax.device_put(prob.pt_pos, point_sharding)
+    pt_valid = jax.device_put(prob.pt_valid, point_sharding)
+    obs_kf = jax.device_put(prob.obs_kf, point_sharding)
+    obs_uv = jax.device_put(prob.obs_uv, point_sharding)
+    obs_ur = jax.device_put(prob.obs_ur, point_sharding)
+    obs_inv2 = jax.device_put(prob.obs_inv_sigma2, point_sharding)
+    obs_valid = jax.device_put(prob.obs_valid, point_sharding)
+    lam = jnp.float32(1e-4)
+    cost = jnp.float32(0.0)
+    for _ in range(iters):
+        kf_R, kf_t, pt_pos, lam, cost = step(
+            kf_R, kf_t, kf_fixed, kf_valid, pt_pos, pt_valid,
+            obs_kf, obs_uv, obs_ur, obs_inv2, obs_valid, lam,
+        )
+    return kf_R, kf_t, pt_pos, cost

@@ -1,0 +1,108 @@
+"""Good-feature selection: lazier-greedy Max-logDet active matching.
+
+TPU-native replacement for Observability::runActiveMapMatching (reference:
+src/Observability.cc:830, IROS18/TRO20 "Good Feature Matching"): instead of
+matching every local map point, actively pick the subset that maximizes the
+log-determinant of the pose information matrix, under a per-frame budget
+(reference: constraints-per-frame, System::SetConstrPerFrame System.cc:444).
+
+Reference mechanics → TPU design:
+- per-round random subset of size ~P/k (lazier greedy, Observability.cc:902)
+  → masked uniform sampling with a jax PRNG key;
+- per-candidate logDet(curMat + ObsMat_i) scoring on 7x7 matrices (:956)
+  → one batched slogdet over the whole subset per round (vmap on MXU);
+- match-then-update sequencing (match argmax point via
+  SearchByProjection_OnePoint, add its stereo row, repeat :982-1025)
+  → selection is fully device-side over predicted info matrices; the
+  selected subset is then matched in ONE batched projection search. The
+  wall-clock budget becomes the fixed round count (SURVEY.md §7.3).
+
+The greedy round loop is a lax.scan of `n_select` rounds — sequential by
+nature (each pick conditions the next score) but each round is fully
+parallel over candidates.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gf_orb_slam2_tpu.selection.observability import logdet_psd
+
+
+def lazier_greedy_select(
+    obs_mats, valid, n_select: int, key, lazier_factor: int = 10,
+    base_mat=None, eps: float = 1e-3,
+):
+    """Select `n_select` landmarks maximizing logdet(Σ selected ObsMat).
+
+    obs_mats: [P,D,D] per-landmark info matrices; valid: [P] candidate mask;
+    base_mat: optional [D,D] prior information (current matched set).
+    Returns (selected_mask [P] bool, order [n_select] int32 — -1 padding).
+    """
+    P, D, _ = obs_mats.shape
+    if base_mat is None:
+        base_mat = jnp.zeros((D, D), obs_mats.dtype)
+    eye = jnp.eye(D, dtype=obs_mats.dtype)
+    # subset size scored per round: the compute (not just the candidacy) is
+    # reduced by the lazier factor — gather then batch-slogdet
+    m = max(min(P, 64), P // max(lazier_factor, 1))
+
+    traces = jnp.einsum("pii->p", obs_mats)  # cheap fallback score
+
+    def round_fn(carry, k):
+        cur, selected = carry
+        if m == P:
+            idx = jnp.arange(P)
+        else:
+            idx = jax.random.randint(k, (m,), 0, P)
+        cand = valid[idx] & ~selected[idx]
+        trial = cur[None] + obs_mats[idx] + eps * eye[None]
+        ld = logdet_psd(trial, eps)
+        score = jnp.where(cand, ld, -jnp.inf)
+        bi = jnp.argmax(score)
+        # if the sample missed every remaining candidate, fall back to the
+        # best remaining by trace (keeps the budget exactly filled)
+        tr_score = jnp.where(valid & ~selected, traces, -jnp.inf)
+        best_fb = jnp.argmax(tr_score)
+        any_c = jnp.isfinite(score[bi])
+        best = jnp.where(any_c, idx[bi], best_fb)
+        ok = any_c | jnp.isfinite(tr_score[best_fb])
+        selected = selected.at[best].set(selected[best] | ok)
+        cur = jnp.where(ok, cur + obs_mats[best], cur)
+        return (cur, selected), jnp.where(ok, best, -1)
+
+    keys = jax.random.split(key, n_select)
+    (cur, selected), order = jax.lax.scan(
+        round_fn, (base_mat, jnp.zeros(P, bool)), keys
+    )
+    return selected, order.astype(jnp.int32)
+
+
+def greedy_select_exact(obs_mats, valid, n_select: int, base_mat=None, eps=1e-3):
+    """Exact greedy (lazier_factor=1 equivalent): scores ALL candidates every
+    round. Baseline for the statistical quality tests (reference:
+    test/test_Greedy.cpp runs exact as method 1)."""
+    key = jax.random.PRNGKey(0)
+    P = obs_mats.shape[0]
+    return lazier_greedy_select(
+        obs_mats, valid, n_select, key, lazier_factor=1, base_mat=base_mat, eps=eps
+    )
+
+
+def selection_logdet(obs_mats, selected_mask, base_mat=None, eps=1e-3):
+    """logdet of the information accumulated by a selection."""
+    D = obs_mats.shape[-1]
+    M = jnp.sum(obs_mats * selected_mask[:, None, None], axis=0)
+    if base_mat is not None:
+        M = M + base_mat
+    return logdet_psd(M, eps)
+
+
+def random_select(valid, n_select: int, key):
+    """Baseline: random subset (reference: runBaselineMapMatching
+    Observability.cc:1171, RANDOM_MAP_MATCHING)."""
+    P = valid.shape[0]
+    scores = jax.random.uniform(key, (P,)) + (~valid) * -1e9
+    _, idx = jax.lax.top_k(scores, n_select)
+    mask = jnp.zeros(P, bool).at[idx].set(True) & valid
+    return mask, idx.astype(jnp.int32)

@@ -1,0 +1,106 @@
+"""Observability: per-landmark measurement Jacobians + information matrices.
+
+TPU-native replacement for the Observability class (reference:
+src/Observability.cc, include/Observability.h): the good-feature engine's
+math substrate. The reference builds per-point Jacobians H13 (∂h/∂p), H47
+(∂h/∂q) with hand-derived quaternion algebra (compute_H_subblock_complete
+Observability.h:376, disparity row :597) and parallelizes the batch across
+std::threads with a 2ms time cap (runMatrixBuilding Observability.cc:668).
+
+Here the ENTIRE batch is one vmapped program: analytic projection Jacobian ×
+autodiff quaternion Jacobian, giving [P, 3, 7] measurement Jacobians and
+[P, 7, 7] information matrices in one XLA call — the reference's P2
+thread-pool machinery (SURVEY.md §2.3) collapses into vmap.
+
+State convention (reference: 13-dim Xv = [p(3), q(4), v(3), ω(3)],
+Observability.h:266): p = camera position in world, q = Hamilton [w,x,y,z]
+camera→world rotation. The info-matrix block used for good-feature selection
+is the pose part [p, q] → 7x7 (reference: Tracking.cc:271-274 size choice).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gf_orb_slam2_tpu.geometry import lie
+from gf_orb_slam2_tpu.utils.precision import einsum
+
+
+def _pc_of(q, p, y):
+    """Camera-frame point: R(q)ᵀ (y - p)."""
+    R_wc = lie.quat_to_rot(q)
+    return einsum("ji,j->i", R_wc, y - p)
+
+
+def measurement_jacobians(q, p, pts, fx, fy, bf, stereo_mask):
+    """Batched H = [∂h/∂p | ∂h/∂q] for landmarks pts [P,3].
+
+    Returns (H [P,3,7], pc [P,3]) where rows are (u, v, u_right) and the
+    u_right row is zeroed for non-stereo landmarks. Mirrors
+    compute_H_subblock_complete + compute_H_disparity_col
+    (reference: Observability.h:376/:597) for the rectified pinhole model.
+    """
+    R_wc = lie.quat_to_rot(q)  # [3,3]
+    R_cw = R_wc.T
+
+    pc = einsum("ij,pj->pi", R_cw, pts - p)  # [P,3]
+    x, y_, z = pc[..., 0], pc[..., 1], jnp.maximum(pc[..., 2], 1e-6)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    zero = jnp.zeros_like(x)
+    # ∂(u,v,ur)/∂pc
+    A = jnp.stack(
+        [
+            jnp.stack([fx * iz, zero, -fx * x * iz2], -1),
+            jnp.stack([zero, fy * iz, -fy * y_ * iz2], -1),
+            jnp.stack([fx * iz, zero, -fx * x * iz2 + bf * iz2], -1)
+            * stereo_mask[:, None].astype(x.dtype),
+        ],
+        -2,
+    )  # [P,3,3]
+    # ∂pc/∂p = -R_cw (same for all points)
+    dpc_dp = -R_cw  # [3,3]
+    # ∂pc/∂q via autodiff per point (exact, incl. non-unit-norm direction)
+    def pc_fn(qq, yy):
+        return _pc_of(qq, p, yy)
+
+    dpc_dq = jax.vmap(lambda yy: jax.jacfwd(pc_fn, argnums=0)(q, yy))(pts)  # [P,3,4]
+    H_p = einsum("prj,jk->prk", A, dpc_dp)   # [P,3,3]
+    H_q = einsum("prj,pjk->prk", A, dpc_dq)  # [P,3,4]
+    H = jnp.concatenate([H_p, H_q], -1)      # [P,3,7]
+    return H, pc
+
+
+def info_matrices(q, p, pts, fx, fy, bf, stereo_mask, inv_sigma2, valid):
+    """Per-landmark 7x7 observability/information matrices
+    (reference: MapPoint::ObsMat cache, batchInfoMat_* Observability.cc:391).
+
+    Returns ObsMat [P,7,7]; invalid landmarks get zeros.
+    """
+    H, pc = measurement_jacobians(q, p, pts, fx, fy, bf, stereo_mask)
+    w = (valid & (pc[..., 2] > 1e-3)).astype(H.dtype) * inv_sigma2
+    return einsum("p,pri,prj->pij", w, H, H)
+
+
+def pose_info_from_frame(q, p, pts, fx, fy, bf, stereo_mask, inv_sigma2, valid):
+    """Total 7x7 pose information of the currently matched set
+    (reference: the running curMat in runActiveMapMatching)."""
+    M = info_matrices(q, p, pts, fx, fy, bf, stereo_mask, inv_sigma2, valid)
+    return jnp.sum(M, axis=0)
+
+
+def logdet_psd(M, eps=1e-3):
+    """log-determinant of a PSD matrix (batched), f32-robust.
+
+    The reference uses LU-based logDet in double precision
+    (Observability.h:85); in f32 the raw determinant underflows/overflows for
+    info matrices whose diagonal spans ~1e5..1e8, so we scale-normalize by
+    the diagonal first: logdet(M) = logdet(D^-½ M D^-½) + Σ log dᵢ.
+    """
+    d = M.shape[-1]
+    diag = jnp.diagonal(M, axis1=-2, axis2=-1)
+    s = jnp.sqrt(jnp.maximum(diag, eps))
+    Mn = M / (s[..., :, None] * s[..., None, :])
+    Mn = Mn + 1e-5 * jnp.eye(d, dtype=M.dtype)
+    sign, ld = jnp.linalg.slogdet(Mn)
+    return ld + 2.0 * jnp.sum(jnp.log(s), axis=-1)

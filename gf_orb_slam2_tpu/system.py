@@ -1,0 +1,198 @@
+"""System facade: the user-facing SLAM engine API.
+
+TPU-native replacement for ORB_SLAM2::System (reference: include/System.h:69,
+src/System.cc:43): constructs the map, tracker and mapper, exposes per-frame
+TrackStereo/TrackRGBD/TrackMonocular, mode switches, reset, and trajectory
+savers. The reference spawns LocalMapping/LoopClosing threads
+(System.cc:113-124); here the pipeline is an explicit host-side sequence per
+frame — tracking always runs, mapping runs when a keyframe is inserted
+(SURVEY.md §2.3 P1: thread parallelism → host pipeline feeding fused device
+programs; the jitted stages internally overlap on the TPU).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gf_orb_slam2_tpu.config import Sensor, SystemConfig
+from gf_orb_slam2_tpu.features.extractor import ORBExtractor
+from gf_orb_slam2_tpu.geometry import camera as cam_mod
+from gf_orb_slam2_tpu.io import trajectory as traj_io
+from gf_orb_slam2_tpu.mapping.local_mapping import LocalMapper
+from gf_orb_slam2_tpu.matching import stereo as stereo_mod
+from gf_orb_slam2_tpu.slammap.store import MapStore
+from gf_orb_slam2_tpu.tracking.frame import Frame
+from gf_orb_slam2_tpu.tracking.tracker import Tracker, TrackState
+
+
+class System:
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        cam = cfg.camera
+        n_kp = cfg.capacity.max_keypoints
+        self.extractor = ORBExtractor(cfg.orb, cam.height, cam.width)
+        # pad feature capacity to the configured keypoint capacity
+        assert self.extractor.n_total <= n_kp, "orb.n_features > capacity.max_keypoints"
+        self.n_kp = n_kp
+        self.store = MapStore(cfg.capacity, n_kp)
+        scales = np.asarray(self.extractor.scales, np.float32)
+        self.tracker = Tracker(cfg, self.store, n_kp, scales)
+        self.mapper = LocalMapper(cfg, self.store, n_kp, scales)
+        self.frame_id = 0
+        self._rectify_left: Optional[cam_mod.RectifyMap] = None
+        self._rectify_right: Optional[cam_mod.RectifyMap] = None
+        if cam.left_K is not None:
+            self._rectify_left = cam_mod.RectifyMap.from_np(
+                cam.left_K, cam.left_D, cam.left_R, cam.left_P, cam.fisheye
+            )
+            self._rectify_right = cam_mod.RectifyMap.from_np(
+                cam.right_K, cam.right_D, cam.right_R, cam.right_P, cam.fisheye
+            )
+        self._pin = cam_mod.PinholeCamera.from_config(cam)
+
+    # ------------------------------------------------------------ tracking
+    def track_stereo(self, im_left, im_right, timestamp: float) -> np.ndarray:
+        """Reference: System::TrackStereo (System.cc:144) → 4x4 Tcw."""
+        assert self.cfg.sensor == Sensor.STEREO
+        frame = self._build_stereo_frame(im_left, im_right, timestamp)
+        return self._track(frame)
+
+    def track_rgbd(self, im, depth_map, timestamp: float) -> np.ndarray:
+        """Reference: System::TrackRGBD (System.cc:214)."""
+        assert self.cfg.sensor == Sensor.RGBD
+        frame = self._build_rgbd_frame(im, depth_map, timestamp)
+        return self._track(frame)
+
+    def track_monocular(self, im, timestamp: float) -> np.ndarray:
+        """Reference: System::TrackMonocular (System.cc:282)."""
+        assert self.cfg.sensor == Sensor.MONOCULAR
+        frame = self._build_mono_frame(im, timestamp)
+        return self._track(frame)
+
+    def track_frame(self, frame: Frame) -> np.ndarray:
+        """Feature-level entry (synthetic/testing): bypass image pipeline."""
+        return self._track(frame)
+
+    def _track(self, frame: Frame) -> np.ndarray:
+        st = self.tracker.process_frame(frame)
+        if st.created_kf and not self.cfg.localization_only:
+            kf = self.tracker.ref_kf
+            self.mapper.process_keyframe(kf)
+        self.frame_id += 1
+        return frame.pose_matrix()
+
+    # ------------------------------------------------------- frame builders
+    def _extract_np(self, img):
+        feats = self.extractor(jnp.asarray(img))
+        uv = np.zeros((self.n_kp, 2), np.float32)
+        octv = np.zeros(self.n_kp, np.int32)
+        ang = np.zeros(self.n_kp, np.float32)
+        desc = np.zeros((self.n_kp, 8), np.uint32)
+        resp = np.zeros(self.n_kp, np.float32)
+        valid = np.zeros(self.n_kp, bool)
+        n = self.extractor.n_total
+        uv[:n] = np.asarray(feats.uv)
+        octv[:n] = np.asarray(feats.octave)
+        ang[:n] = np.asarray(feats.angle)
+        desc[:n] = np.asarray(feats.desc)
+        resp[:n] = np.asarray(feats.response)
+        valid[:n] = np.asarray(feats.valid)
+        return uv, octv, ang, desc, resp, valid
+
+    def _build_stereo_frame(self, im_left, im_right, ts) -> Frame:
+        uv_l, oct_l, ang_l, desc_l, resp_l, val_l = self._extract_np(im_left)
+        uv_r, oct_r, ang_r, desc_r, resp_r, val_r = self._extract_np(im_right)
+        if self._rectify_left is not None:
+            uv_l = np.asarray(cam_mod.rectify_keypoints(self._rectify_left, jnp.asarray(uv_l)))
+            uv_r = np.asarray(cam_mod.rectify_keypoints(self._rectify_right, jnp.asarray(uv_r)))
+        elif np.any(np.asarray(self.cfg.camera.dist)):
+            uv_l = np.asarray(cam_mod.undistort_keypoints(self._pin, jnp.asarray(uv_l)))
+            uv_r = np.asarray(cam_mod.undistort_keypoints(self._pin, jnp.asarray(uv_r)))
+        sm = stereo_mod.match_stereo(
+            jnp.asarray(uv_l), jnp.asarray(oct_l), jnp.asarray(desc_l), jnp.asarray(val_l),
+            jnp.asarray(uv_r), jnp.asarray(oct_r), jnp.asarray(desc_r), jnp.asarray(val_r),
+            jnp.asarray(im_left).astype(jnp.float32),
+            jnp.asarray(im_right).astype(jnp.float32),
+            jnp.asarray(np.asarray(self.extractor.scales, np.float32)),
+            self.cfg.camera.bf,
+        )
+        f = Frame(
+            frame_id=self.frame_id, timestamp=ts,
+            uv=uv_l, octave=oct_l, angle=ang_l, desc=desc_l, response=resp_l,
+            u_right=np.asarray(sm.u_right), depth=np.asarray(sm.depth), valid=val_l,
+        )
+        return f
+
+    def _build_rgbd_frame(self, im, depth_map, ts) -> Frame:
+        uv, octv, ang, desc, resp, valid = self._extract_np(im)
+        if np.any(np.asarray(self.cfg.camera.dist)):
+            uv = np.asarray(cam_mod.undistort_keypoints(self._pin, jnp.asarray(uv)))
+        dm = jnp.asarray(depth_map).astype(jnp.float32)
+        factor = 1.0 / self.cfg.camera.depth_map_factor if self.cfg.camera.depth_map_factor not in (0, 1) else 1.0
+        sm = stereo_mod.depth_to_disparity(
+            jnp.asarray(uv), jnp.asarray(valid), dm, self.cfg.camera.bf, factor
+        )
+        return Frame(
+            frame_id=self.frame_id, timestamp=ts,
+            uv=uv, octave=octv, angle=ang, desc=desc, response=resp,
+            u_right=np.asarray(sm.u_right), depth=np.asarray(sm.depth), valid=valid,
+        )
+
+    def _build_mono_frame(self, im, ts) -> Frame:
+        uv, octv, ang, desc, resp, valid = self._extract_np(im)
+        if np.any(np.asarray(self.cfg.camera.dist)):
+            uv = np.asarray(cam_mod.undistort_keypoints(self._pin, jnp.asarray(uv)))
+        n = self.n_kp
+        return Frame(
+            frame_id=self.frame_id, timestamp=ts,
+            uv=uv, octave=octv, angle=ang, desc=desc, response=resp,
+            u_right=np.full(n, -1.0, np.float32), depth=np.full(n, -1.0, np.float32),
+            valid=valid,
+        )
+
+    # ------------------------------------------------------------ lifecycle
+    @property
+    def state(self) -> TrackState:
+        return self.tracker.state
+
+    def activate_localization_mode(self):
+        """Reference: System::ActivateLocalizationMode (System.cc:~340)."""
+        self.cfg = self.cfg.replace(localization_only=True)
+        self.tracker.cfg = self.cfg
+
+    def deactivate_localization_mode(self):
+        self.cfg = self.cfg.replace(localization_only=False)
+        self.tracker.cfg = self.cfg
+
+    def reset(self):
+        """Reference: System::Reset (System.cc:376) → Tracking::Reset."""
+        self.store.clear()
+        self.tracker.state = TrackState.NO_IMAGES_YET
+        self.tracker.last_frame = None
+        self.tracker.velocity = None
+        self.tracker.ref_kf = -1
+        self.tracker.relative_poses.clear()
+        self.mapper.recent_points.clear()
+
+    def shutdown(self):
+        pass  # no threads to join; parity no-op (System.cc:382)
+
+    # ----------------------------------------------------------- trajectory
+    def save_trajectory_tum(self, path):
+        traj_io.save_trajectory_tum(path, self.tracker.relative_poses, self.store)
+
+    def save_keyframe_trajectory_tum(self, path):
+        traj_io.save_keyframe_trajectory_tum(path, self.store)
+
+    def save_trajectory_kitti(self, path):
+        traj_io.save_trajectory_kitti(path, self.tracker.relative_poses, self.store)
+
+    def save_tracking_log(self, path):
+        """Reference: System::SaveTrackingLog (System.cc:501)."""
+        import json
+
+        with open(path, "w") as f:
+            for st in self.tracker.stats:
+                f.write(json.dumps(st.__dict__) + "\n")

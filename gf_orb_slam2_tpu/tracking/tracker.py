@@ -153,7 +153,7 @@ class Tracker:
         self, R0, t0,
         loc_pos, loc_normal, loc_mind, loc_maxd, loc_desc, loc_valid, loc_already,
         kp_uv, kp_oct, kp_ur, kp_valid, kp_desc,
-        kp_mp_pos, kp_mp_valid, extra_radius,
+        kp_mp_pos, kp_mp_valid, extra_radius, rng_key,
     ):
         fx, fy, cx, cy, bf = self._cam_scalars
         cam = self.cfg.camera
@@ -162,9 +162,39 @@ class Tracker:
             fx, fy, cx, cy, cam.width, cam.height,
             n_levels=len(self.level_scales), log_scale=self.log_scale,
         )
+        pool = proj.visible & ~loc_already
+        gf_cfg = self.cfg.good_feature
+        if gf_cfg.enabled:
+            # GOOD FEATURE branch (reference: Tracking.cc:2348-2377 →
+            # Observability::runActiveMapMatching): restrict the projection
+            # search to the Max-logDet subset when the pool is large.
+            from gf_orb_slam2_tpu.selection import good_feature, observability
+
+            R_wc = R0.T
+            q_wc = lie.rot_to_quat(R_wc)
+            center = -R_wc @ t0
+            inv2_pt = 1.0 / self._scales_dev[
+                jnp.clip(proj.pred_octave, 0, len(self.level_scales) - 1)
+            ] ** 2
+            is_stereo_sensor = self.cfg.sensor != Sensor.MONOCULAR
+            stereo_mask = jnp.full(loc_pos.shape[0], is_stereo_sensor)
+            obs_mats = observability.info_matrices(
+                q_wc, center, loc_pos, fx, fy, bf, stereo_mask, inv2_pt, pool
+            )
+            base = observability.pose_info_from_frame(
+                q_wc, center, kp_mp_pos, fx, fy, bf,
+                jnp.full(kp_mp_pos.shape[0], is_stereo_sensor),
+                jnp.ones(kp_mp_pos.shape[0], obs_mats.dtype), kp_mp_valid,
+            )
+            sel, _ = good_feature.lazier_greedy_select(
+                obs_mats, pool, gf_cfg.constr_per_frame, rng_key,
+                lazier_factor=gf_cfg.lazier_factor, base_mat=base,
+            )
+            use_sel = jnp.sum(pool.astype(jnp.int32)) >= gf_cfg.min_pool
+            pool = jnp.where(use_sel, pool & sel, pool)
         radius = jnp.where(proj.view_cos > 0.998, 2.5, 4.0) * extra_radius
         m = matcher.search_by_projection(
-            proj.uv, proj.pred_octave, proj.visible & ~loc_already, loc_desc,
+            proj.uv, proj.pred_octave, pool, loc_desc,
             kp_uv, kp_oct, kp_valid & ~kp_mp_valid, kp_desc,
             radius=radius, level_scales=self._scales_dev,
             th=matcher.TH_HIGH, nn_ratio=0.8,
@@ -190,6 +220,10 @@ class Tracker:
             self.state = TrackState.NOT_INITIALIZED
             if self.cfg.sensor in (Sensor.STEREO, Sensor.RGBD):
                 if self._stereo_initialization(frame):
+                    self.state = TrackState.OK
+                    st.created_kf = True
+            else:
+                if self._monocular_initialization(frame):
                     self.state = TrackState.OK
                     st.created_kf = True
             st.state = self.state.name
@@ -351,6 +385,7 @@ class Tracker:
             jnp.asarray(frame.u_right), jnp.asarray(frame.valid),
             jnp.asarray(frame.desc),
             jnp.asarray(kp_mp_pos), jnp.asarray(has), jnp.float32(extra_r),
+            jax.random.PRNGKey(frame.frame_id),
         )
         kp_row = np.asarray(kp_row)
         inl = np.asarray(res.inliers)
@@ -407,6 +442,77 @@ class Tracker:
         s.update_connections(k)
         self.ref_kf = k
         self.last_kf_frame_id = frame.frame_id
+        return True
+
+    def _monocular_initialization(self, frame: Frame) -> bool:
+        """Reference: MonocularInitialization + CreateInitialMapMonocular
+        (Tracking.cc:1141/1206): hold a reference frame, window-match, run
+        the batched H/F RANSAC bootstrap, build the two-KF map, normalize
+        scale to unit median depth."""
+        from gf_orb_slam2_tpu.matching.matcher import match_window
+        from gf_orb_slam2_tpu.tracking.initializer import initialize
+
+        if not hasattr(self, "_mono_init_frame"):
+            self._mono_init_frame = None
+        if self._mono_init_frame is None or self._mono_init_frame.n_kp < 100:
+            self._mono_init_frame = frame if frame.n_kp >= 100 else None
+            return False
+        f0 = self._mono_init_frame
+        m = match_window(
+            jnp.asarray(f0.uv), jnp.asarray(f0.desc), jnp.asarray(f0.valid),
+            jnp.asarray(frame.uv), jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            window=100.0,
+        )
+        n_matches = int(m.valid.sum())
+        if n_matches < 100:
+            self._mono_init_frame = frame if frame.n_kp >= 100 else None
+            return False
+        idx = np.asarray(m.idx)
+        mval = np.asarray(m.valid)
+        uv2 = frame.uv[np.maximum(idx, 0)]
+        cam = self.cfg.camera
+        K = jnp.asarray(
+            [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], jnp.float32
+        )
+        res = initialize(
+            jnp.asarray(f0.uv), jnp.asarray(uv2), jnp.asarray(mval), K,
+            jax.random.PRNGKey(frame.frame_id),
+        )
+        if not bool(res.ok):
+            return False
+        # ---- build the initial map
+        s = self.store
+        inl = np.asarray(res.is_inlier)
+        X = np.asarray(res.points)
+        # scale: unit median depth (reference: ComputeSceneMedianDepth → 1)
+        med = float(np.median(X[inl][:, 2]))
+        if med <= 0:
+            return False
+        X = X / med
+        R2, t2 = np.asarray(res.R), np.asarray(res.t) / med
+        k0 = s.add_keyframe(
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            f0.uv, f0.octave, f0.angle, f0.desc, f0.u_right, f0.depth,
+            f0.valid, f0.frame_id, f0.timestamp,
+        )
+        k1 = s.add_keyframe(
+            R2, t2, frame.uv, frame.octave, frame.angle, frame.desc,
+            frame.u_right, frame.depth, frame.valid, frame.frame_id,
+            frame.timestamp,
+        )
+        for i in np.nonzero(inl)[0]:
+            j = int(idx[i])
+            p = s.add_point(X[i].astype(np.float32), frame.desc[j], first_kf=k0)
+            s.add_observation(p, k0, int(i))
+            s.add_observation(p, k1, j)
+            s.update_normal_and_depth(p, self.level_scales)
+            frame.mp_ids[j] = p
+        s.update_connections(k0)
+        s.update_connections(k1)
+        frame.R, frame.t = R2, t2
+        self.ref_kf = k1
+        self.last_kf_frame_id = frame.frame_id
+        self._mono_init_frame = None
         return True
 
     def _update_velocity(self, frame: Frame):

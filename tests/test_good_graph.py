@@ -1,0 +1,63 @@
+"""Good-graph subgraph selection tests (reference: test_GoodMap.cpp style)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gf_orb_slam2_tpu.optim.local_ba import pose_schur_blocks
+from gf_orb_slam2_tpu.selection.good_graph import (
+    masked_logdet, select_subgraph, estimate_kf_budget,
+)
+
+from tests.test_local_ba import build_problem, FX, FY, CX, CY, BF
+
+
+def schur_for(rng, K=10, P=200):
+    prob, gt_R, gt_t, gt_pts = build_problem(rng, K=K, P=P, O=min(8, K))
+    S = pose_schur_blocks(prob, FX, FY, CX, CY, BF)
+    return S, prob
+
+
+class TestGoodGraph:
+    def test_schur_psd(self):
+        rng = np.random.default_rng(0)
+        S, _ = schur_for(rng)
+        K = S.shape[0]
+        M = np.asarray(jnp.swapaxes(S, 1, 2).reshape(K * 6, K * 6))
+        evs = np.linalg.eigvalsh((M + M.T) / 2)
+        assert evs.min() > -1e-3 * max(1.0, abs(evs.max()))
+
+    def test_masked_logdet_matches_submatrix(self):
+        rng = np.random.default_rng(1)
+        S, _ = schur_for(rng, K=6)
+        mask = jnp.asarray([True, False, True, True, False, True])
+        ld = float(masked_logdet(S, mask, eps=1e-3))
+        # direct submatrix
+        idx = np.nonzero(np.asarray(mask))[0]
+        Ssub = np.asarray(S)[np.ix_(idx, idx)]
+        M = Ssub.transpose(0, 2, 1, 3).reshape(len(idx) * 6, len(idx) * 6)
+        diag = np.diag(M)
+        s = np.sqrt(np.maximum(diag, 1e-3))
+        Mn = M / np.outer(s, s) + 1e-5 * np.eye(len(M))
+        ld_direct = np.linalg.slogdet(Mn)[1] + 2 * np.log(s).sum()
+        np.testing.assert_allclose(ld, ld_direct, rtol=1e-3, atol=0.5)
+
+    def test_selection_budget_and_quality(self):
+        rng = np.random.default_rng(2)
+        S, _ = schur_for(rng, K=12)
+        free = jnp.ones(12, bool)
+        keep = jnp.zeros(12, bool).at[0].set(True)
+        sel = select_subgraph(S, free, 6, jax.random.PRNGKey(0), always_keep=keep)
+        assert int(sel.sum()) == 6
+        assert bool(sel[0])
+        # greedy selection must beat the mean of random subsets
+        ld_g = float(masked_logdet(S, sel))
+        lds_r = []
+        for s_ in range(8):
+            r = np.zeros(12, bool)
+            r[0] = True
+            r[np.random.default_rng(s_).choice(np.arange(1, 12), 5, replace=False)] = True
+            lds_r.append(float(masked_logdet(S, jnp.asarray(r))))
+        assert ld_g >= np.mean(lds_r), (ld_g, lds_r)
+
+    def test_budget_model(self):
+        assert estimate_kf_budget(5.0) < estimate_kf_budget(100.0) <= 64
