@@ -1,0 +1,286 @@
+"""Loop closing: detection, Sim3 verification, loop correction.
+
+TPU-native replacement for the LoopClosing thread (reference:
+src/LoopClosing.cc:65 Run): BoW candidate retrieval with
+covisibility-consistency over 3 consecutive KFs (DetectLoop :125),
+Sim3 RANSAC + guided verification (ComputeSim3 :253), and loop correction —
+pose propagation to the covisible neighborhood, point fusion, essential-graph
+Sim3 optimization, asynchronous global BA (CorrectLoop :424,
+RunGlobalBundleAdjustment :667). Runs as a host pipeline stage per KF with
+device programs for matching/Sim3/pose-graph (SURVEY.md §2.3 P1).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gf_orb_slam2_tpu.config import Sensor, SystemConfig
+from gf_orb_slam2_tpu.geometry import lie
+from gf_orb_slam2_tpu.loopclosing.sim3solver import solve_sim3
+from gf_orb_slam2_tpu.matching import matcher
+from gf_orb_slam2_tpu.optim.pose_graph import PoseGraphProblem, optimize_pose_graph
+from gf_orb_slam2_tpu.place.keyframe_db import KeyFrameDatabase
+from gf_orb_slam2_tpu.slammap.store import MapStore
+
+
+@dataclasses.dataclass
+class LoopStats:
+    kf: int = -1
+    n_candidates: int = 0
+    loop_kf: int = -1
+    n_sim3_inliers: int = 0
+    corrected: bool = False
+    pg_cost: float = 0.0
+
+
+class LoopCloser:
+    def __init__(self, cfg: SystemConfig, store: MapStore, kfdb: KeyFrameDatabase):
+        self.cfg = cfg
+        self.store = store
+        self.kfdb = kfdb
+        # consistency groups: list of (set_of_kfs, count) (reference:
+        # mvConsistentGroups LoopClosing.cc:216)
+        self._consistent: List[Tuple[Set[int], int]] = []
+        self.last_loop_kf: int = -1
+        self.fix_scale = cfg.sensor != Sensor.MONOCULAR
+        self._match_jit = None
+
+    # ------------------------------------------------------------- pipeline
+    def process_keyframe(self, kf: int) -> LoopStats:
+        st = LoopStats(kf=kf)
+        cands = self._detect_loop(kf, st)
+        self.kfdb.add(kf)
+        if not cands:
+            return st
+        hit = self._compute_sim3(kf, cands, st)
+        if hit is None:
+            return st
+        loop_kf, s12, R12, t12, n_inl = hit
+        st.loop_kf = loop_kf
+        st.n_sim3_inliers = n_inl
+        self._correct_loop(kf, loop_kf, s12, R12, t12, st)
+        return st
+
+    # ------------------------------------------------------------ detection
+    def _detect_loop(self, kf: int, st: LoopStats) -> List[int]:
+        s = self.store
+        if kf < 10 or (self.last_loop_kf >= 0 and kf - self.last_loop_kf < 10):
+            return []
+        min_score = self.kfdb.min_covis_score(kf)
+        cands = self.kfdb.detect_loop_candidates(kf, max(min_score, 1e-3))
+        st.n_candidates = len(cands)
+        if not cands:
+            self._consistent = []
+            return []
+        # covisibility-consistency over consecutive detections
+        # (reference: LoopClosing.cc:160-250, threshold 3)
+        th = self.cfg.loop.covisibility_consistency_th
+        enough: List[int] = []
+        new_groups: List[Tuple[Set[int], int]] = []
+        for c in cands:
+            group = set(int(x) for x in s.covisible_kfs(c))
+            group.add(c)
+            matched = False
+            for prev_group, count in self._consistent:
+                if group & prev_group:
+                    new_groups.append((group, count + 1))
+                    matched = True
+                    if count + 1 >= th:
+                        enough.append(c)
+                    break
+            if not matched:
+                new_groups.append((group, 1))
+        self._consistent = new_groups
+        return enough
+
+    # ----------------------------------------------------------- sim3 stage
+    def _compute_sim3(self, kf: int, cands: List[int], st: LoopStats):
+        s = self.store
+        cam = self.cfg.camera
+        for c in cands:
+            # descriptor matches between map-point-bearing keypoints
+            has_k = s.kf_point[kf] >= 0
+            has_c = s.kf_point[c] >= 0
+            m = matcher.match_all(
+                jnp.asarray(s.kf_desc[kf]), jnp.asarray(has_k & s.kf_kp_valid[kf]),
+                jnp.asarray(s.kf_desc[c]), jnp.asarray(has_c & s.kf_kp_valid[c]),
+                th=matcher.TH_LOW, nn_ratio=0.75, mutual=True,
+            )
+            idx = np.asarray(m.idx)
+            ok = np.asarray(m.valid)
+            rows = np.nonzero(ok)[0]
+            if rows.size < self.cfg.loop.min_sim3_inliers:
+                continue
+            p1 = s.kf_point[kf, rows]
+            p2 = s.kf_point[c, idx[rows]]
+            good = s.point_valid[p1] & s.point_valid[p2]
+            rows, p1, p2 = rows[good], p1[good], p2[good]
+            if rows.size < self.cfg.loop.min_sim3_inliers:
+                continue
+            N = 256
+            pc1 = np.zeros((N, 3), np.float32)
+            pc2 = np.zeros((N, 3), np.float32)
+            val = np.zeros(N, bool)
+            n = min(rows.size, N)
+            pc1[:n] = s.point_pos[p1[:n]] @ s.kf_R[kf].T + s.kf_t[kf]
+            pc2[:n] = s.point_pos[p2[:n]] @ s.kf_R[c].T + s.kf_t[c]
+            val[:n] = True
+            res = solve_sim3(
+                jnp.asarray(pc1), jnp.asarray(pc2), jnp.asarray(val),
+                cam.fx, cam.fy, cam.cx, cam.cy,
+                jax.random.PRNGKey(kf * 1000 + c),
+                fix_scale=self.fix_scale,
+                min_inliers=self.cfg.loop.min_sim3_inliers,
+            )
+            if bool(res.ok):
+                # Sim3 maps kf-camera coords → candidate-camera coords
+                return (
+                    c,
+                    float(res.s),
+                    np.asarray(res.R),
+                    np.asarray(res.t),
+                    int(res.n_inliers),
+                )
+        return None
+
+    # ----------------------------------------------------- loop correction
+    def _correct_loop(self, kf: int, loop_kf: int, s12, R12, t12, st: LoopStats):
+        """Reference: CorrectLoop (LoopClosing.cc:424) + OptimizeEssentialGraph.
+
+        s12,R12,t12: Sim3 taking kf-camera coords into loop_kf-camera coords.
+        Corrected kf pose: S_cw(kf) = S_12⁻¹? — we directly compose:
+        corrected T_cw(kf) = Sim3(s12,R12,t12)⁻¹ ∘ T_cw(loop_kf)?? No:
+        points seen in loop_kf frame map into kf frame by S21. The corrected
+        world pose of kf: S_kf_corr = S12_inv_as_pose ∘ T_loop? We follow the
+        reference: Scw_corrected(kf) = S12 ... Actually reference computes
+        mScw = gScm * Converter(pMatchedKF->GetPose()) where gScm maps
+        matched-KF camera → current camera. Our (s12,R12,t12) maps current →
+        matched, so S_current_corrected = S12⁻¹ ∘ T_cw(loop_kf).
+        """
+        s = self.store
+        si, Ri, ti = lie.sim3_inv(
+            jnp.asarray(np.float32(s12)), jnp.asarray(R12), jnp.asarray(t12)
+        )
+        s_corr, R_corr, t_corr = lie.sim3_compose(
+            si, Ri, ti,
+            jnp.asarray(np.float32(1.0)), jnp.asarray(s.kf_R[loop_kf]), jnp.asarray(s.kf_t[loop_kf]),
+        )
+        s_corr = float(s_corr)
+        R_corr = np.asarray(R_corr)
+        t_corr = np.asarray(t_corr)
+
+        # --- propagate correction to the covisible neighborhood
+        neighborhood = [kf] + [int(x) for x in s.covisible_kfs(kf)]
+        old_R = {k: s.kf_R[k].copy() for k in neighborhood}
+        old_t = {k: s.kf_t[k].copy() for k in neighborhood}
+        corr_s: Dict[int, float] = {}
+        moved_points: Set[int] = set()
+        for k in neighborhood:
+            # relative pose to kf (pre-correction): T_k_kf = T_k ∘ T_kf⁻¹
+            R_rel = old_R[k] @ old_R[kf].T
+            t_rel = old_t[k] - R_rel @ old_t[kf]
+            sk, Rk, tk = lie.sim3_compose(
+                jnp.asarray(np.float32(1.0)), jnp.asarray(R_rel), jnp.asarray(t_rel),
+                jnp.asarray(np.float32(s_corr)), jnp.asarray(R_corr), jnp.asarray(t_corr),
+            )
+            sk = float(sk)
+            corr_s[k] = sk
+            # correct this KF's points: X_new = T_new⁻¹( s·T_old(X) )
+            Rk_np, tk_np = np.asarray(Rk), np.asarray(tk)
+            pts = s.kf_point[k]
+            pts = np.unique(pts[pts >= 0])
+            pts = pts[s.point_valid[pts]]
+            pts = np.asarray([p for p in pts if p not in moved_points], int)
+            if pts.size:
+                pc = s.point_pos[pts] @ old_R[k].T + old_t[k]
+                # X_new = S_new⁻¹(pc): re-anchor through the corrected Sim3
+                s_inv, R_inv, t_inv = lie.sim3_inv(
+                    jnp.asarray(np.float32(sk)), jnp.asarray(Rk_np), jnp.asarray(tk_np)
+                )
+                pw = np.asarray(lie.sim3_apply(
+                    jnp.broadcast_to(s_inv, (pts.size,)), R_inv, t_inv, jnp.asarray(pc)
+                ))
+                s.point_pos[pts] = pw
+                moved_points.update(int(p) for p in pts)
+            s.set_kf_pose(k, Rk_np, tk_np / sk)
+        s.kf_loop_edges.setdefault(kf, set()).add(loop_kf)
+        s.kf_loop_edges.setdefault(loop_kf, set()).add(kf)
+
+        # --- essential-graph optimization over all valid KFs
+        self._optimize_essential_graph(kf, loop_kf, corr_s, st)
+        self.last_loop_kf = kf
+        st.corrected = True
+
+    def _optimize_essential_graph(self, kf: int, loop_kf: int, corr_s, st: LoopStats):
+        s = self.store
+        kfs = s.valid_kf_ids()
+        K = int(kfs.max()) + 1  # index by kf id directly (dense up to max id)
+        e_i, e_j, e_R, e_t, e_s, e_w = [], [], [], [], [], []
+
+        def add_edge(i, j, w=1.0):
+            R_rel = s.kf_R[i] @ s.kf_R[j].T
+            t_rel = s.kf_t[i] - R_rel @ s.kf_t[j]
+            e_i.append(i)
+            e_j.append(j)
+            e_R.append(R_rel)
+            e_t.append(t_rel)
+            e_s.append(1.0)
+            e_w.append(w)
+
+        seen = set()
+        min_w = self.cfg.loop.essential_graph_min_weight
+        for k in kfs:
+            k = int(k)
+            parent = int(s.kf_parent[k])
+            if parent >= 0 and s.kf_valid[parent]:
+                add_edge(k, parent, 1.0)
+                seen.add((min(k, parent), max(k, parent)))
+            for nb in s.covisible_kfs(k):
+                nb = int(nb)
+                if s.covis[k, nb] >= min_w and (min(k, nb), max(k, nb)) not in seen:
+                    add_edge(k, nb, 1.0)
+                    seen.add((min(k, nb), max(k, nb)))
+            for le in s.kf_loop_edges.get(k, ()):  # loop edges, strong weight
+                if (min(k, le), max(k, le)) not in seen and s.kf_valid[le]:
+                    add_edge(k, le, 5.0)
+                    seen.add((min(k, le), max(k, le)))
+        if not e_i:
+            return
+        valid = np.zeros(K, bool)
+        valid[kfs] = True
+        fixed = np.zeros(K, bool)
+        fixed[loop_kf] = True  # reference fixes the loop KF
+        prob = PoseGraphProblem(
+            s=jnp.ones(K, jnp.float32),
+            R=jnp.asarray(s.kf_R[:K]), t=jnp.asarray(s.kf_t[:K]),
+            fixed=jnp.asarray(fixed), valid=jnp.asarray(valid),
+            e_i=jnp.asarray(e_i, jnp.int32), e_j=jnp.asarray(e_j, jnp.int32),
+            e_s=jnp.asarray(e_s, jnp.float32), e_R=jnp.asarray(np.stack(e_R)),
+            e_t=jnp.asarray(np.stack(e_t)), e_w=jnp.asarray(e_w, jnp.float32),
+            fix_scale=self.fix_scale,
+        )
+        s_opt, R_opt, t_opt, cost = optimize_pose_graph(prob, iters=15)
+        st.pg_cost = float(cost)
+        s_np = np.asarray(s_opt)
+        R_np = np.asarray(R_opt)
+        t_np = np.asarray(t_opt)
+        # transform points with their reference KF's correction
+        moved: Set[int] = set()
+        for k in kfs:
+            k = int(k)
+            R_old, t_old = s.kf_R[k].copy(), s.kf_t[k].copy()
+            R_new, t_new = R_np[k], t_np[k] / max(s_np[k], 1e-9)
+            pts = s.kf_point[k]
+            pts = np.unique(pts[pts >= 0])
+            pts = pts[s.point_valid[pts]]
+            pts = np.asarray([p for p in pts if p not in moved], int)
+            if pts.size:
+                pc = s.point_pos[pts] @ R_old.T + t_old
+                pw = (pc - t_new) @ R_new
+                s.point_pos[pts] = pw
+                moved.update(int(p) for p in pts)
+            s.set_kf_pose(k, R_new, t_new)

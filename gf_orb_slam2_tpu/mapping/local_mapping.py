@@ -75,7 +75,23 @@ class LocalMapper:
         st.n_fused = self.fuse_neighbors(kf)
         self.run_local_ba(kf, st)
         st.n_culled_kfs = self.cull_keyframes(kf)
+        self.update_hash_tables(kf)
         return st
+
+    def update_hash_tables(self, kf: int):
+        """Insert this KF's (possibly new/updated) points into the MIH tables
+        (reference: UpdateHashTables LocalMapping.cc:948)."""
+        mih = getattr(self, "mih", None)
+        if mih is None or not self.cfg.hashing.enabled:
+            return
+        s = self.store
+        pts = s.kf_point[kf]
+        pts = np.unique(pts[pts >= 0])
+        pts = pts[s.point_valid[pts]]
+        if pts.size:
+            mih.insert(s.point_desc[pts], pts.astype(np.int32))
+        if self.cfg.hashing.online_table_selection:
+            mih.update_table_selection()
 
     def _refresh_point_stats(self, kf: int):
         s = self.store

@@ -1,0 +1,145 @@
+"""Binary BoW vocabulary: hierarchical k-medians tree over ORB descriptors.
+
+TPU-native replacement for DBoW2's TemplatedVocabulary (reference:
+Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h — k-means++ tree, 10 branches ×
+6 levels = 1e6 words, TF-IDF weights, text/binary load with the binary
+loader added by the fork at TemplatedVocabulary.h:1469). Differences, chosen
+deliberately (SURVEY.md §7.1 "BoW replacement"):
+
+- The tree transform (descriptor → word) runs on device as a batched
+  Hamming-argmin descent: level centers are dense arrays, each level is one
+  [N, k] XOR+popcount + argmin — the whole frame's descriptors in a few ops.
+- Training is host-side k-medians (bitwise-majority medoids) — vocabularies
+  are built offline from dataset descriptors (the reference ships a ~140 MB
+  pretrained file we cannot redistribute; we train compact vocabularies and
+  save them as .npz).
+- Frame descriptors become DENSE tf-idf vectors [V] (V ≤ ~10k). Similarity
+  is cosine; ranking behavior matches DBoW2's normalized L1 for retrieval
+  purposes. Dense vectors turn database queries into one matmul.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _popcount_rows(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+
+
+def _hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[N,8] × [M,8] → [N,M] host-side Hamming."""
+    x = a[:, None, :] ^ b[None, :, :]
+    return _popcount_rows(x)
+
+
+def _majority_center(desc: np.ndarray) -> np.ndarray:
+    """Bitwise-majority medoid of [N,8] uint32 descriptors."""
+    bits = np.unpackbits(desc.view(np.uint8), axis=-1)  # [N,256]
+    maj = (bits.mean(0) >= 0.5).astype(np.uint8)
+    return np.packbits(maj).view(np.uint32)
+
+
+class Vocabulary:
+    """k^L-word tree. Arrays:
+    centers: [L][k^l * k, 8] per-level node centers (flat, children of node i
+    occupy rows i*k..i*k+k); word count V = k^L.
+    """
+
+    def __init__(self, centers, k: int, weights=None):
+        self.k = k
+        self.levels = len(centers)
+        self.centers = [np.asarray(c, np.uint32) for c in centers]
+        self.V = self.centers[-1].shape[0]
+        self.idf = np.ones(self.V, np.float32) if weights is None else np.asarray(weights, np.float32)
+        self._dev_centers = [jnp.asarray(c) for c in self.centers]
+        self._jit_words = jax.jit(self._words_impl)
+
+    # ------------------------------------------------------------- training
+    @staticmethod
+    def train(descriptors: np.ndarray, k: int = 10, levels: int = 3,
+              iters: int = 8, seed: int = 0) -> "Vocabulary":
+        """Hierarchical k-medians on [N,8] uint32 descriptors."""
+        rng = np.random.default_rng(seed)
+        centers_per_level = []
+        # clusters at current level: list of index arrays
+        clusters = [np.arange(len(descriptors))]
+        for lvl in range(levels):
+            new_clusters = []
+            level_centers = np.zeros((len(clusters) * k, 8), np.uint32)
+            for ci, idx in enumerate(clusters):
+                data = descriptors[idx] if len(idx) else descriptors[:1]
+                if len(data) < k:
+                    # degenerate: replicate
+                    picks = rng.integers(0, len(data), k)
+                else:
+                    picks = rng.choice(len(data), k, replace=False)
+                cent = data[picks].copy()
+                assign = None
+                for _ in range(iters):
+                    d = _hamming_np(data, cent)
+                    assign = d.argmin(1)
+                    for j in range(k):
+                        m = assign == j
+                        if m.any():
+                            cent[j] = _majority_center(data[m])
+                level_centers[ci * k : ci * k + k] = cent
+                for j in range(k):
+                    m = assign == j if assign is not None else np.zeros(len(data), bool)
+                    new_clusters.append(idx[m] if len(idx) else np.array([], int))
+            centers_per_level.append(level_centers)
+            clusters = new_clusters
+        voc = Vocabulary(centers_per_level, k)
+        # idf from training corpus
+        words = voc.words_np(descriptors)
+        counts = np.bincount(words, minlength=voc.V).astype(np.float32)
+        voc.idf = np.log(len(descriptors) / np.maximum(counts, 1.0)).astype(np.float32)
+        return voc
+
+    # ------------------------------------------------------------ transform
+    def _words_impl(self, desc):
+        """[N,8] uint32 → word ids [N] (device)."""
+        n = desc.shape[0]
+        idx = jnp.zeros(n, jnp.int32)
+        for lvl in range(self.levels):
+            cents = self._dev_centers[lvl]  # [nodes*k, 8]
+            # children of idx: rows idx*k .. idx*k+k
+            child = idx[:, None] * self.k + jnp.arange(self.k)[None, :]  # [N,k]
+            cand = cents[child]  # [N,k,8]
+            x = jnp.bitwise_xor(desc[:, None, :], cand)
+            d = jnp.sum(jax.lax.population_count(x), axis=-1)
+            idx = child[jnp.arange(n), jnp.argmin(d, axis=1)]
+        return idx
+
+    def words(self, desc) -> jnp.ndarray:
+        return self._jit_words(jnp.asarray(desc))
+
+    def words_np(self, desc: np.ndarray) -> np.ndarray:
+        return np.asarray(self.words(desc))
+
+    def bow_vector(self, desc: np.ndarray, valid: Optional[np.ndarray] = None) -> np.ndarray:
+        """Dense normalized tf-idf vector [V]."""
+        d = desc if valid is None else desc[valid]
+        if len(d) == 0:
+            return np.zeros(self.V, np.float32)
+        w = self.words_np(d)
+        v = np.bincount(w, minlength=self.V).astype(np.float32) * self.idf
+        n = np.linalg.norm(v)
+        return v / max(n, 1e-9)
+
+    # ---------------------------------------------------------------- io
+    def save(self, path):
+        np.savez_compressed(
+            path, k=self.k, levels=self.levels, idf=self.idf,
+            **{f"centers_{i}": c for i, c in enumerate(self.centers)},
+        )
+
+    @staticmethod
+    def load(path) -> "Vocabulary":
+        z = np.load(path)
+        levels = int(z["levels"])
+        centers = [z[f"centers_{i}"] for i in range(levels)]
+        return Vocabulary(centers, int(z["k"]), z["idf"])

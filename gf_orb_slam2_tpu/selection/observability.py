@@ -60,11 +60,27 @@ def measurement_jacobians(q, p, pts, fx, fy, bf, stereo_mask):
     )  # [P,3,3]
     # ∂pc/∂p = -R_cw (same for all points)
     dpc_dp = -R_cw  # [3,3]
-    # ∂pc/∂q via autodiff per point (exact, incl. non-unit-norm direction)
-    def pc_fn(qq, yy):
-        return _pc_of(qq, p, yy)
-
-    dpc_dq = jax.vmap(lambda yy: jax.jacfwd(pc_fn, argnums=0)(q, yy))(pts)  # [P,3,4]
+    # ∂pc/∂q analytic (pc = R(q)ᵀ d): with q=[w,v], d = y - p,
+    #   pc = (w²-vᵀv)d + 2(vᵀd)v - 2w(v×d)
+    #   ∂pc/∂w = 2w·d - 2(v×d)
+    #   ∂pc/∂v = 2·v dᵀ + 2(vᵀd)I - 2·d vᵀ + 2w·[d]ₓ
+    # projected onto the unit-quaternion tangent (I - qqᵀ) so it matches the
+    # derivative through normalization (autodiff-validated in tests).
+    d = pts - p  # [P,3]
+    w_, v_ = q[0], q[1:]
+    vxd = jnp.cross(jnp.broadcast_to(v_, d.shape), d)
+    dpc_dw = 2.0 * w_ * d - 2.0 * vxd  # [P,3]
+    eye3 = jnp.eye(3, dtype=d.dtype)
+    vtd = einsum("pj,j->p", d, v_)
+    dpc_dv = (
+        2.0 * v_[None, :, None] * d[:, None, :]
+        + 2.0 * vtd[:, None, None] * eye3[None]
+        - 2.0 * d[:, :, None] * v_[None, None, :]
+        + 2.0 * w_ * lie.hat(d)
+    )  # [P,3,3]
+    dpc_dq = jnp.concatenate([dpc_dw[:, :, None], dpc_dv], -1)  # [P,3,4]
+    proj = jnp.eye(4, dtype=d.dtype) - jnp.outer(q, q)
+    dpc_dq = einsum("pij,jk->pik", dpc_dq, proj)
     H_p = einsum("prj,jk->prk", A, dpc_dp)   # [P,3,3]
     H_q = einsum("prj,pjk->prk", A, dpc_dq)  # [P,3,4]
     H = jnp.concatenate([H_p, H_q], -1)      # [P,3,7]

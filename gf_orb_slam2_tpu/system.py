@@ -41,6 +41,12 @@ class System:
         self.tracker = Tracker(cfg, self.store, n_kp, scales)
         self.mapper = LocalMapper(cfg, self.store, n_kp, scales)
         self.frame_id = 0
+        # place recognition (vocabulary trained lazily from early keyframes —
+        # the reference loads a prebuilt ~140MB DBoW2 file, System.cc:78-84)
+        self.voc = None
+        self.kfdb = None
+        self.loop_closer = None
+        self._vocab_min_kfs = 8
         self._rectify_left: Optional[cam_mod.RectifyMap] = None
         self._rectify_right: Optional[cam_mod.RectifyMap] = None
         if cam.left_K is not None:
@@ -51,6 +57,12 @@ class System:
                 cam.right_K, cam.right_D, cam.right_R, cam.right_P, cam.fisheye
             )
         self._pin = cam_mod.PinholeCamera.from_config(cam)
+        if cfg.hashing.enabled:
+            from gf_orb_slam2_tpu.hashing.mih import MultiIndexHashing
+
+            mih = MultiIndexHashing(cfg.hashing, cfg.capacity.max_map_points)
+            self.tracker.mih = mih
+            self.mapper.mih = mih
 
     # ------------------------------------------------------------ tracking
     def track_stereo(self, im_left, im_right, timestamp: float) -> np.ndarray:
@@ -80,8 +92,43 @@ class System:
         if st.created_kf and not self.cfg.localization_only:
             kf = self.tracker.ref_kf
             self.mapper.process_keyframe(kf)
+            if self.cfg.loop.enabled:
+                self._ensure_place_recognition()
+                if self.loop_closer is not None:
+                    self.loop_closer.process_keyframe(kf)
         self.frame_id += 1
         return frame.pose_matrix()
+
+    def _ensure_place_recognition(self):
+        """Train the vocabulary from early map descriptors, then activate the
+        KF database + loop closing (reference wiring: System.cc:96-118)."""
+        if self.voc is not None or self.store.n_keyframes < self._vocab_min_kfs:
+            if self.kfdb is not None:
+                return
+            if self.voc is None:
+                return
+        if self.voc is None:
+            from gf_orb_slam2_tpu.place.vocabulary import Vocabulary
+
+            s = self.store
+            descs = []
+            for k in s.valid_kf_ids():
+                d = s.kf_desc[k][s.kf_kp_valid[k]]
+                descs.append(d)
+            data = np.concatenate(descs, 0)
+            if len(data) < 512:
+                return
+            if len(data) > 20000:
+                data = data[np.random.default_rng(0).choice(len(data), 20000, replace=False)]
+            self.voc = Vocabulary.train(data, k=8, levels=3, iters=4)
+        from gf_orb_slam2_tpu.loopclosing.loop_closer import LoopCloser
+        from gf_orb_slam2_tpu.place.keyframe_db import KeyFrameDatabase
+
+        self.kfdb = KeyFrameDatabase(self.voc, self.store)
+        for k in self.store.valid_kf_ids()[:-1]:
+            self.kfdb.add(int(k))
+        self.loop_closer = LoopCloser(self.cfg, self.store, self.kfdb)
+        self.tracker.kfdb = self.kfdb
 
     # ------------------------------------------------------- frame builders
     def _extract_np(self, img):
@@ -178,6 +225,34 @@ class System:
 
     def shutdown(self):
         pass  # no threads to join; parity no-op (System.cc:382)
+
+    # ----------------------------------------------------------- map io
+    def save_map(self, path):
+        """Reference: System::SaveMap (System.cc:1315)."""
+        from gf_orb_slam2_tpu.io.map_io import save_map
+
+        save_map(path, self.store)
+        if self.voc is not None:
+            self.voc.save(str(path) + ".voc.npz")
+
+    def load_map(self, path):
+        """Reference: System::LoadMap (System.cc:907). Typically followed by
+        activate_localization_mode()."""
+        from gf_orb_slam2_tpu.io.map_io import load_map
+
+        load_map(path, self.store)
+        import os
+
+        voc_path = str(path) + ".voc.npz"
+        if os.path.exists(voc_path):
+            from gf_orb_slam2_tpu.place.vocabulary import Vocabulary
+
+            self.voc = Vocabulary.load(voc_path)
+            self._ensure_place_recognition()
+        # tracking restarts lost → relocalize against the loaded map
+        self.tracker.state = TrackState.LOST
+        if self.store.n_keyframes:
+            self.tracker.ref_kf = int(self.store.valid_kf_ids()[-1])
 
     # ----------------------------------------------------------- trajectory
     def save_trajectory_tum(self, path):

@@ -96,6 +96,10 @@ class Tracker:
         self._jit_motion = jax.jit(self._motion_step_impl)
         self._jit_refkf = jax.jit(self._refkf_step_impl)
         self._jit_local = jax.jit(self._local_step_impl)
+        self._jit_reloc = jax.jit(self._reloc_step_impl)
+        self._last_reloc_frame = -10**9
+        self.kfdb = None  # set by System once place recognition is up
+        self.mih = None   # set by System when hashing is enabled
 
     # ================================================== device programs
     def _motion_step_impl(
@@ -148,6 +152,30 @@ class Tracker:
             inv_sigma2, kp_mp_valid, fx, fy, cx, cy, bf,
         )
         return res, kp_row, kp_mp_valid
+
+    def _reloc_step_impl(
+        self, ref_desc, ref_valid, pt_pos,
+        kp_uv, kp_oct, kp_ur, kp_valid, kp_desc, rng_key,
+    ):
+        """Relocalization against one candidate KF: descriptor match → PnP
+        RANSAC → LM polish (reference: Relocalization Tracking.cc:2615 —
+        SearchByBoW + PnPsolver::iterate + PoseOptimization)."""
+        from gf_orb_slam2_tpu.tracking.pnp import pnp_ransac
+
+        fx, fy, cx, cy, bf = self._cam_scalars
+        m = matcher.match_all(ref_desc, ref_valid, kp_desc, kp_valid,
+                              th=matcher.TH_LOW, nn_ratio=0.75, mutual=False)
+        n = self.n_kp
+        kp_row = _scatter_matches(m.idx, m.valid, jnp.arange(ref_desc.shape[0], dtype=jnp.int32), n)
+        kp_mp_pos = jnp.where((kp_row >= 0)[:, None], pt_pos[jnp.maximum(kp_row, 0)], 0.0)
+        kp_mp_valid = kp_row >= 0
+        pnp = pnp_ransac(kp_mp_pos, kp_uv, kp_mp_valid, fx, fy, cx, cy, rng_key)
+        inv_sigma2 = 1.0 / self._scales_dev[jnp.clip(kp_oct, 0, len(self.level_scales) - 1)] ** 2
+        res = pose_opt.pose_optimization(
+            pnp.R, pnp.t, kp_mp_pos, kp_uv, jnp.where(kp_mp_valid, kp_ur, -1.0),
+            inv_sigma2, kp_mp_valid, fx, fy, cx, cy, bf,
+        )
+        return res, kp_row, pnp.ok
 
     def _local_step_impl(
         self, R0, t0,
@@ -245,7 +273,8 @@ class Tracker:
         if ok:
             self.state = TrackState.OK
             self.n_lost = 0
-            self._update_velocity(frame)
+            if self.last_frame is not None:
+                self._update_velocity(frame)
             if self._need_new_keyframe(frame):
                 self._create_keyframe(frame)
                 st.created_kf = True
@@ -345,7 +374,31 @@ class Tracker:
         kfs = kfs[s.kf_valid[kfs]]
         # reference keyframe := max-covis KF (Tracking.cc:2601)
         self.ref_kf = int(k1[np.argmax(counts[k1])])
-        pts = np.unique(s.kf_point[kfs])
+        # local-map assembly: covisibility traversal, hash retrieval, or both
+        # (reference: UpdateLocalPointsByHashing Tracking.cc:2895, modes
+        # CovisOnly/HashOnly/Combined Tracking.h:197-201, trigger
+        # MAP_SIZE_TRIGGER_HASHING Tracking.h:66)
+        from gf_orb_slam2_tpu.config import LocalMapMode
+
+        mode = self.cfg.tracking.local_map_mode
+        use_hash = (
+            self.mih is not None
+            and self.cfg.hashing.enabled
+            and s.n_points > self.cfg.hashing.map_size_trigger
+            and mode in (LocalMapMode.HASH_ONLY, LocalMapMode.COMBINED)
+        )
+        if use_hash:
+            hpts = self.mih.query(frame.desc[frame.valid])
+            hpts = hpts[(hpts >= 0) & (hpts < s.point_valid.shape[0])]
+            hpts = hpts[s.point_valid[hpts]]
+            self.mih.update_dynamics(len(hpts))
+            if mode == LocalMapMode.HASH_ONLY:
+                pts = np.unique(hpts)
+            else:
+                cpts = np.unique(s.kf_point[kfs])
+                pts = np.unique(np.concatenate([cpts[cpts >= 0], hpts]))
+        else:
+            pts = np.unique(s.kf_point[kfs])
         pts = pts[pts >= 0]
         pts = pts[s.point_valid[pts]]
         L = self.cfg.capacity.max_local_points
@@ -402,18 +455,53 @@ class Tracker:
         s.point_found[tracked] += 1
         s.point_visible[pts] += 1
         n_inl = int(res.n_inliers)
-        recently_reloc = False
-        thr = 50 if recently_reloc else self.cfg.tracking.min_inliers_local_map
+        recently_reloc = (
+            frame.frame_id - self._last_reloc_frame
+            < self.cfg.tracking.max_frames_between_kf
+        )
+        thr = (self.cfg.tracking.min_inliers_after_reloc if recently_reloc
+               else self.cfg.tracking.min_inliers_local_map)
         return n_inl >= thr
 
     def _relocalize(self, frame: Frame, st: TrackStats) -> bool:
-        """Placeholder relocalization: try reference-KF matching with the last
-        few KFs (full KFDB+EPnP reloc arrives with the place-recognition
-        module; reference: Tracking.cc:2615)."""
-        for k in reversed(self.store.valid_kf_ids()[-5:].tolist()):
-            self.ref_kf = int(k)
-            if self._track_reference_kf(frame, st):
-                return True
+        """Relocalization (reference: Tracking.cc:2615): KF-database BoW
+        candidates (when the vocabulary is up) → per-candidate descriptor
+        matching + pose solve; falls back to the most recent KFs otherwise."""
+        if not self.cfg.tracking.enable_reloc:
+            return False
+        cands: list = []
+        kfdb = getattr(self, "kfdb", None)
+        if kfdb is not None:
+            cands = kfdb.detect_reloc_candidates(frame.desc, frame.valid)
+        if not cands:
+            cands = list(reversed(self.store.valid_kf_ids()[-5:].tolist()))
+        s = self.store
+        for k in cands:
+            k = int(k)
+            ref_ids = s.resolve_replaced(s.kf_point[k])
+            rows = ref_ids >= 0
+            if rows.sum() < 15:
+                continue
+            pt_pos = np.zeros((self.n_kp, 3), np.float32)
+            pt_pos[rows] = s.point_pos[ref_ids[rows]]
+            res, kp_row, pnp_ok = self._jit_reloc(
+                jnp.asarray(s.kf_desc[k]), jnp.asarray(rows & s.kf_kp_valid[k]),
+                jnp.asarray(pt_pos),
+                jnp.asarray(frame.uv), jnp.asarray(frame.octave),
+                jnp.asarray(frame.u_right), jnp.asarray(frame.valid),
+                jnp.asarray(frame.desc), jax.random.PRNGKey(frame.frame_id),
+            )
+            if not bool(pnp_ok) or int(res.n_inliers) < 15:
+                continue
+            kp_row = np.asarray(kp_row)
+            inl = np.asarray(res.inliers)
+            frame.mp_ids = np.where(kp_row >= 0, ref_ids[np.maximum(kp_row, 0)], -1).astype(np.int32)
+            frame.mp_ids[~inl] = -1
+            frame.R = np.asarray(res.R)
+            frame.t = np.asarray(res.t)
+            self.ref_kf = k
+            self._last_reloc_frame = frame.frame_id
+            return True
         return False
 
     # ---------------------------------------------------------- lifecycle
