@@ -212,6 +212,11 @@ class LoopCloser:
 
         # --- essential-graph optimization over all valid KFs
         self._optimize_essential_graph(kf, loop_kf, corr_s, st)
+        # --- full BA (reference runs it in a detached thread,
+        # LoopClosing.cc:601; here it is a bounded synchronous pass)
+        from gf_orb_slam2_tpu.optim.global_ba import global_bundle_adjustment
+
+        global_bundle_adjustment(self.store, self.cfg)
         self.last_loop_kf = kf
         st.corrected = True
 

@@ -204,6 +204,31 @@ class System:
     def state(self) -> TrackState:
         return self.tracker.state
 
+    def set_constr_per_frame(self, n: int):
+        """Good-feature budget: number of actively matched constraints/frame
+        (reference: System::SetConstrPerFrame System.cc:444)."""
+        import dataclasses
+
+        gf = dataclasses.replace(self.cfg.good_feature, constr_per_frame=int(n))
+        self.cfg = self.cfg.replace(good_feature=gf)
+        self.tracker.cfg = self.cfg
+        # budget is jit-static (greedy round count): rebuild the local step
+        self.tracker._jit_local = __import__("jax").jit(self.tracker._local_step_impl)
+
+    def set_budget_per_frame(self, budget_ms: float):
+        """Map good-graph time budget → subgraph size via the cubic model
+        (reference: System::SetBudgetPerFrame System.cc:433 +
+        estimateKFNum Optimizer.cc:566)."""
+        import dataclasses
+
+        from gf_orb_slam2_tpu.selection.good_graph import estimate_kf_budget
+
+        gg = dataclasses.replace(
+            self.cfg.good_graph, subgraph_size=estimate_kf_budget(budget_ms)
+        )
+        self.cfg = self.cfg.replace(good_graph=gg)
+        self.mapper.cfg = self.cfg
+
     def activate_localization_mode(self):
         """Reference: System::ActivateLocalizationMode (System.cc:~340)."""
         self.cfg = self.cfg.replace(localization_only=True)
