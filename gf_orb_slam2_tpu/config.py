@@ -128,8 +128,10 @@ class GoodGraphConfig:
     Thirdparty/SLAM++ NonlinearSolver_GoodGraph.h)."""
 
     enabled: bool = True
-    kf_thres: int = 30  # select only if free KFs > this (Optimizer.h:44)
-    max_pool: int = 60  # covisible KF pool cap (Optimizer.h:45)
+    # reference: trigger 30 / pool 60 (Optimizer.h:44-45) sized for CPU g2o;
+    # the TPU build's dense BA window is narrower, so the trigger scales down
+    kf_thres: int = 12
+    max_pool: int = 24
     lazier_factor: int = 4
     # budget → subgraph size via cubic model (reference: Optimizer.cc:566 estimateKFNum);
     # here a direct size knob plus optional anticipation scaling.

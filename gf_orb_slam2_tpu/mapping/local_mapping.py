@@ -65,6 +65,7 @@ class LocalMapper:
         self._jit_triangulate = jax.jit(self._triangulate_pair_impl)
         self._jit_fuse = jax.jit(self._fuse_impl)
         self._ba_shapes = {}
+        self.stats: List[MappingStats] = []
 
     # ------------------------------------------------------------- pipeline
     def process_keyframe(self, kf: int) -> MappingStats:
@@ -76,6 +77,7 @@ class LocalMapper:
         self.run_local_ba(kf, st)
         st.n_culled_kfs = self.cull_keyframes(kf)
         self.update_hash_tables(kf)
+        self.stats.append(st)
         return st
 
     def update_hash_tables(self, kf: int):
@@ -304,7 +306,7 @@ class LocalMapper:
         (good-graph subgraph selection, selection/good_graph.py).
         """
         s = self.store
-        K_CAP = 16
+        K_CAP = min(max(self.cfg.good_graph.max_pool, 8), 24)
         O_CAP = 12
         window = [kf] + [int(k) for k in s.covisible_kfs(kf, K_CAP - 1)]
         window = window[:K_CAP]
@@ -353,7 +355,7 @@ class LocalMapper:
         # pad P to the jit-stable capacity bucket (powers of two) to bound
         # recompilation counts
         P_pad = 1 << max(8, int(np.ceil(np.log2(max(P, 1)))))
-        K_pad = 2 * K_CAP
+        K_pad = 2 * K_CAP  # window + fixed
 
         def pad_to(arr, n, fill=0):
             out = np.full((n,) + arr.shape[1:], fill, arr.dtype)

@@ -153,7 +153,7 @@ def local_bundle_adjustment(
         rho = jnp.where(e <= delta, c2, 2.0 * delta * e - delta * delta)
         return jnp.sum(jnp.where(active & (depth > 1e-4), rho, 0.0))
 
-    def lm_iter(carry, _):
+    def lm_iter(carry, step):
         kf_R, kf_t, pt_pos, active, lam, cost = carry
         r, J_pose, J_pt, depth = _residuals(prob, kf_R, kf_t, pt_pos, fx, fy, cx, cy, bf)
         c2 = _chi2(r, prob.obs_inv_sigma2, is_stereo)
@@ -205,6 +205,15 @@ def local_bundle_adjustment(
         pt_pos = jnp.where(accept, pt_new, pt_pos)
         cost = jnp.where(accept, cost_new, cost)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-7, 1e6)
+        # mid-schedule outlier gate (reference 5-iter → gate → 10-iter),
+        # folded into the single scan so the body compiles once
+        gate = step == iters_first - 1
+        r2, _, _, depth2 = _residuals(prob, kf_R, kf_t, pt_pos, fx, fy, cx, cy, bf)
+        c2g = _chi2(r2, prob.obs_inv_sigma2, is_stereo)
+        gated = base_valid & (c2g <= chi2_th) & (depth2 > 1e-4)
+        active = jnp.where(gate, gated, active)
+        cost = jnp.where(gate, robust_cost(kf_R, kf_t, pt_pos, active), cost)
+        lam = jnp.where(gate, 1e-4, lam)
         return (kf_R, kf_t, pt_pos, active, lam, cost), None
 
     def Hpp_mat(Hpp, lam, damping):
@@ -226,15 +235,8 @@ def local_bundle_adjustment(
     cost0 = robust_cost(kf_R, kf_t, pt_pos, active)
     lam0 = jnp.float32(1e-4)
     (kf_R, kf_t, pt_pos, active, lam, cost), _ = jax.lax.scan(
-        lm_iter, (kf_R, kf_t, pt_pos, active, lam0, cost0), None, length=iters_first
-    )
-    # gate outliers (reference: removes chi2>th or negative-depth edges)
-    r, _, _, depth = _residuals(prob, kf_R, kf_t, pt_pos, fx, fy, cx, cy, bf)
-    c2 = _chi2(r, prob.obs_inv_sigma2, is_stereo)
-    active = base_valid & (c2 <= chi2_th) & (depth > 1e-4)
-    cost0 = robust_cost(kf_R, kf_t, pt_pos, active)
-    (kf_R, kf_t, pt_pos, active, lam, cost), _ = jax.lax.scan(
-        lm_iter, (kf_R, kf_t, pt_pos, active, lam0, cost0), None, length=iters_second
+        lm_iter, (kf_R, kf_t, pt_pos, active, lam0, cost0),
+        jnp.arange(iters_first + iters_second),
     )
     r, _, _, depth = _residuals(prob, kf_R, kf_t, pt_pos, fx, fy, cx, cy, bf)
     c2 = _chi2(r, prob.obs_inv_sigma2, is_stereo)

@@ -103,10 +103,13 @@ def pose_optimization(
         rho = jnp.where(e <= delta, c2, 2.0 * delta * e - delta * delta)
         return jnp.sum(jnp.where(inlier & (depth > 1e-4), rho, 0.0))
 
-    def lm_iter(carry, _):
+    def lm_iter(carry, step):
         """Levenberg-Marquardt with step acceptance (mirrors g2o's LM loop):
         reject cost-increasing steps and raise lambda — plain GN can stall on
-        robust-cost plateaus/local basins."""
+        robust-cost plateaus/local basins. The reference's 4-round × 10-iter
+        structure with chi2 re-gating between rounds runs as ONE scan (the
+        gate fires every `iters` steps) so the compiled body exists once —
+        unrolling rounds made this the slowest-compiling program by far."""
         R, t, inlier, lam, cost = carry
         r, J, depth = _residuals_jacobians(R, t, Xw, uv, u_right, fx, fy, cx, cy, bf)
         c2 = _chi2(r, inv_sigma2, is_stereo)
@@ -125,19 +128,23 @@ def pose_optimization(
         t = jnp.where(accept, t_new, t)
         cost = jnp.where(accept, cost_new, cost)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-6, 1e6)
-        return (R, t, inlier, lam, cost), None
+        # end-of-round chi2 gate (reference: outlier re-gating between rounds)
+        gate = (step + 1) % iters == 0
+        r2, _, depth2 = _residuals_jacobians(R, t, Xw, uv, u_right, fx, fy, cx, cy, bf)
+        c2g = _chi2(r2, inv_sigma2, is_stereo)
+        gated = valid & (c2g <= chi2_th) & (depth2 > 1e-4)
+        new_inlier = jnp.where(gate, gated, inlier)
+        cost = jnp.where(gate, robust_cost(R, t, new_inlier), cost)
+        lam = jnp.where(gate, 1e-3, lam)
+        return (R, t, new_inlier, lam, cost), None
 
     R, t = R0, t0
     inlier = valid
-    for _ in range(rounds):
-        lam = jnp.float32(1e-3)
-        cost0 = robust_cost(R, t, inlier)
-        (R, t, inlier, lam, cost0), _ = jax.lax.scan(
-            lm_iter, (R, t, inlier, lam, cost0), None, length=iters
-        )
-        r, _, depth = _residuals_jacobians(R, t, Xw, uv, u_right, fx, fy, cx, cy, bf)
-        c2 = _chi2(r, inv_sigma2, is_stereo)
-        inlier = valid & (c2 <= chi2_th) & (depth > 1e-4)
+    cost0 = robust_cost(R, t, inlier)
+    (R, t, inlier, _, _), _ = jax.lax.scan(
+        lm_iter, (R, t, inlier, jnp.float32(1e-3), cost0),
+        jnp.arange(rounds * iters),
+    )
 
     r, _, depth = _residuals_jacobians(R, t, Xw, uv, u_right, fx, fy, cx, cy, bf)
     c2 = _chi2(r, inv_sigma2, is_stereo)

@@ -296,3 +296,12 @@ class System:
         with open(path, "w") as f:
             for st in self.tracker.stats:
                 f.write(json.dumps(st.__dict__) + "\n")
+
+    def save_mapping_log(self, path):
+        """Reference: System::SaveMappingLog (System.cc:542) — per-KF BA
+        stage log (MappingLog Util.hpp:282)."""
+        import json
+
+        with open(path, "w") as f:
+            for st in self.mapper.stats:
+                f.write(json.dumps(st.__dict__) + "\n")

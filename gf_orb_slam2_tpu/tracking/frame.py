@@ -29,6 +29,7 @@ class Frame:
     t: np.ndarray = None  # [3]
     mp_ids: np.ndarray = None  # [N] i32 map point per keypoint (-1)
     is_outlier: np.ndarray = None  # [N] bool (pose-opt gating)
+    _dev: tuple = None  # device-array cache (tracker._frame_dev)
 
     def __post_init__(self):
         n = self.uv.shape[0]

@@ -242,6 +242,18 @@ class Tracker:
         return res, kp_row, new_valid, n_visible
 
     # ================================================== host orchestration
+    def _frame_dev(self, frame: Frame):
+        """Per-frame device arrays, converted once (the kp set is used by
+        motion, refkf, local and reloc steps — repeated np→device conversion
+        dominated the host profile)."""
+        if getattr(frame, "_dev", None) is None:
+            frame._dev = (
+                jnp.asarray(frame.uv), jnp.asarray(frame.octave),
+                jnp.asarray(frame.u_right), jnp.asarray(frame.valid),
+                jnp.asarray(frame.desc), jnp.asarray(frame.angle),
+            )
+        return frame._dev
+
     def process_frame(self, frame: Frame) -> TrackStats:
         st = TrackStats(frame_id=frame.frame_id, n_features=frame.n_kp)
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
@@ -304,14 +316,13 @@ class Tracker:
         pt_desc[rows] = self.store.point_desc[ids[rows]]
         R0, t0 = self._predict_pose()
         radius = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
+        kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = self._frame_dev(frame)
         res, kp_row, kp_valid0 = self._jit_motion(
             jnp.asarray(R0), jnp.asarray(t0),
             jnp.asarray(lf.R), jnp.asarray(lf.t),
             jnp.asarray(pt_pos), jnp.asarray(pt_oct), jnp.asarray(rows),
             jnp.asarray(pt_desc),
-            jnp.asarray(frame.uv), jnp.asarray(frame.octave),
-            jnp.asarray(frame.u_right), jnp.asarray(frame.valid),
-            jnp.asarray(frame.desc), jnp.float32(radius),
+            kp_uv, kp_oct, kp_ur, kp_val, kp_desc, jnp.float32(radius),
         )
         kp_row = np.asarray(kp_row)
         inl = np.asarray(res.inliers)
@@ -333,13 +344,12 @@ class Tracker:
         pt_pos[rows] = s.point_pos[ref_ids[rows]]
         R0 = self.last_frame.R if self.last_frame is not None else np.eye(3, dtype=np.float32)
         t0 = self.last_frame.t if self.last_frame is not None else np.zeros(3, np.float32)
+        kp_uv, kp_oct, kp_ur, kp_val, kp_desc, kp_ang = self._frame_dev(frame)
         res, kp_row, _ = self._jit_refkf(
             jnp.asarray(R0), jnp.asarray(t0),
             jnp.asarray(s.kf_desc[k]), jnp.asarray(rows), jnp.asarray(s.kf_angle[k]),
             jnp.asarray(pt_pos), jnp.asarray(rows),
-            jnp.asarray(frame.uv), jnp.asarray(frame.octave),
-            jnp.asarray(frame.u_right), jnp.asarray(frame.valid),
-            jnp.asarray(frame.desc), jnp.asarray(frame.angle),
+            kp_uv, kp_oct, kp_ur, kp_val, kp_desc, kp_ang,
         )
         kp_row = np.asarray(kp_row)
         inl = np.asarray(res.inliers)
@@ -429,14 +439,13 @@ class Tracker:
         has = frame.mp_ids >= 0
         kp_mp_pos[has] = s.point_pos[frame.mp_ids[has]]
         extra_r = 2.0 if self.state == TrackState.LOST else 1.0
+        kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = self._frame_dev(frame)
         res, kp_row, new_valid, n_vis = self._jit_local(
             jnp.asarray(frame.R), jnp.asarray(frame.t),
             jnp.asarray(loc_pos), jnp.asarray(loc_normal), jnp.asarray(loc_mind),
             jnp.asarray(loc_maxd), jnp.asarray(loc_desc), jnp.asarray(loc_valid),
             jnp.asarray(already),
-            jnp.asarray(frame.uv), jnp.asarray(frame.octave),
-            jnp.asarray(frame.u_right), jnp.asarray(frame.valid),
-            jnp.asarray(frame.desc),
+            kp_uv, kp_oct, kp_ur, kp_val, kp_desc,
             jnp.asarray(kp_mp_pos), jnp.asarray(has), jnp.float32(extra_r),
             jax.random.PRNGKey(frame.frame_id),
         )
@@ -484,12 +493,12 @@ class Tracker:
                 continue
             pt_pos = np.zeros((self.n_kp, 3), np.float32)
             pt_pos[rows] = s.point_pos[ref_ids[rows]]
+            kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = self._frame_dev(frame)
             res, kp_row, pnp_ok = self._jit_reloc(
                 jnp.asarray(s.kf_desc[k]), jnp.asarray(rows & s.kf_kp_valid[k]),
                 jnp.asarray(pt_pos),
-                jnp.asarray(frame.uv), jnp.asarray(frame.octave),
-                jnp.asarray(frame.u_right), jnp.asarray(frame.valid),
-                jnp.asarray(frame.desc), jax.random.PRNGKey(frame.frame_id),
+                kp_uv, kp_oct, kp_ur, kp_val, kp_desc,
+                jax.random.PRNGKey(frame.frame_id),
             )
             if not bool(pnp_ok) or int(res.n_inliers) < 15:
                 continue
