@@ -190,19 +190,14 @@ class LocalMapper:
             free_n = (s.kf_point[kn] < 0) & s.kf_kp_valid[kn]
             if free_k.sum() == 0 or free_n.sum() == 0:
                 continue
-            Xw, idx2, ok = self._jit_triangulate(
-                jnp.asarray(s.kf_R[kf]), jnp.asarray(s.kf_t[kf]),
-                jnp.asarray(s.kf_R[kn]), jnp.asarray(s.kf_t[kn]),
-                jnp.asarray(s.kf_uv[kf]), jnp.asarray(s.kf_octave[kf]),
-                jnp.asarray(s.kf_desc[kf]), jnp.asarray(free_k),
-                jnp.asarray(s.kf_u_right[kf]),
-                jnp.asarray(s.kf_uv[kn]), jnp.asarray(s.kf_octave[kn]),
-                jnp.asarray(s.kf_desc[kn]), jnp.asarray(free_n),
-                jnp.asarray(s.kf_u_right[kn]),
-            )
-            Xw = np.asarray(Xw)
-            idx2 = np.asarray(idx2)
-            ok = np.asarray(ok)
+            dev_in = jax.device_put((
+                s.kf_R[kf], s.kf_t[kf], s.kf_R[kn], s.kf_t[kn],
+                s.kf_uv[kf], s.kf_octave[kf], s.kf_desc[kf], free_k,
+                s.kf_u_right[kf],
+                s.kf_uv[kn], s.kf_octave[kn], s.kf_desc[kn], free_n,
+                s.kf_u_right[kn],
+            ))
+            Xw, idx2, ok = jax.device_get(self._jit_triangulate(*dev_in))
             for i1 in np.nonzero(ok)[0]:
                 if s.kf_point[kf, i1] >= 0:
                     continue  # claimed by an earlier pair this round
@@ -268,15 +263,12 @@ class LocalMapper:
             pt_pos[: pts.size] = s.point_pos[pts]
             pt_desc[: pts.size] = s.point_desc[pts]
             pt_valid[: pts.size] = True
-            idx, ok = self._jit_fuse(
-                jnp.asarray(s.kf_R[dst]), jnp.asarray(s.kf_t[dst]),
-                jnp.asarray(pt_pos), jnp.zeros(P, jnp.int32), jnp.asarray(pt_valid),
-                jnp.asarray(pt_desc),
-                jnp.asarray(s.kf_uv[dst]), jnp.asarray(s.kf_octave[dst]),
-                jnp.asarray(s.kf_kp_valid[dst]), jnp.asarray(s.kf_desc[dst]),
-            )
-            idx = np.asarray(idx)
-            ok = np.asarray(ok)
+            dev_in = jax.device_put((
+                s.kf_R[dst], s.kf_t[dst], pt_pos, np.zeros(P, np.int32),
+                pt_valid, pt_desc, s.kf_uv[dst], s.kf_octave[dst],
+                s.kf_kp_valid[dst], s.kf_desc[dst],
+            ))
+            idx, ok = jax.device_get(self._jit_fuse(*dev_in))
             for r in np.nonzero(ok)[0]:
                 p = int(pts[r]) if r < pts.size else -1
                 if p < 0 or not s.point_valid[p]:
@@ -384,6 +376,7 @@ class LocalMapper:
             obs_inv_sigma2=jnp.asarray(pad_to(obs_inv2, P_pad, 1.0)),
             obs_valid=jnp.asarray(pad_to(obs_valid, P_pad)),
         )
+        prob = jax.device_put(prob)
         cam = self.cfg.camera
         gg = self.cfg.good_graph
         if gg.enabled and len(window) > gg.kf_thres:
@@ -410,7 +403,8 @@ class LocalMapper:
             prob = prob._replace(kf_fixed=jnp.asarray(fixed_mask))
             st.ba_kfs = int((~fixed_mask & kf_valid).sum())
         res = self._run_ba_jit(prob, cam)
-        # ---- write back
+        # ---- write back (one batched transfer)
+        res = jax.device_get(res)
         kf_R = np.asarray(res.kf_R)[:K]
         kf_t = np.asarray(res.kf_t)[:K]
         for i, k in enumerate(kfs):

@@ -89,6 +89,22 @@ class System:
 
     def _track(self, frame: Frame) -> np.ndarray:
         st = self.tracker.process_frame(frame)
+        # hard reset when lost right after init (reference: Tracking.cc:813 —
+        # lost with <=5 KFs → System::Reset) or lost far too long
+        if self.tracker.state.name == "LOST" and not self.cfg.localization_only:
+            if self.store.n_keyframes <= 5 and self.cfg.sensor.name == "MONOCULAR":
+                self.reset()
+            elif self.tracker.n_lost > self.cfg.tracking.max_lost_frames:
+                self.reset()
+        rt = getattr(self, "_rt_stream", None)
+        if rt is not None and frame.R is not None:
+            from gf_orb_slam2_tpu.io.trajectory import _pose_to_twc, _quat_wxyz
+
+            Rwc, twc = _pose_to_twc(frame.pose_matrix())
+            q = _quat_wxyz(Rwc)
+            rt.write(f"{frame.timestamp:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
+                     f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
+            rt.flush()
         if st.created_kf and not self.cfg.localization_only:
             kf = self.tracker.ref_kf
             self.mapper.process_keyframe(kf)
@@ -131,78 +147,125 @@ class System:
         self.tracker.kfdb = self.kfdb
 
     # ------------------------------------------------------- frame builders
-    def _extract_np(self, img):
-        feats = self.extractor(jnp.asarray(img))
-        uv = np.zeros((self.n_kp, 2), np.float32)
-        octv = np.zeros(self.n_kp, np.int32)
-        ang = np.zeros(self.n_kp, np.float32)
-        desc = np.zeros((self.n_kp, 8), np.uint32)
-        resp = np.zeros(self.n_kp, np.float32)
-        valid = np.zeros(self.n_kp, bool)
-        n = self.extractor.n_total
-        uv[:n] = np.asarray(feats.uv)
-        octv[:n] = np.asarray(feats.octave)
-        ang[:n] = np.asarray(feats.angle)
-        desc[:n] = np.asarray(feats.desc)
-        resp[:n] = np.asarray(feats.response)
-        valid[:n] = np.asarray(feats.valid)
-        return uv, octv, ang, desc, resp, valid
+    #
+    # Each frontend is ONE fused jitted program (extract [+ rectify/undistort
+    # + stereo/depth]) and its results reach the host in ONE device_get —
+    # on the remote-attached TPU every host↔device round-trip costs ~30 ms
+    # regardless of payload, so transfer count, not bytes, is the budget.
 
-    def _build_stereo_frame(self, im_left, im_right, ts) -> Frame:
-        uv_l, oct_l, ang_l, desc_l, resp_l, val_l = self._extract_np(im_left)
-        uv_r, oct_r, ang_r, desc_r, resp_r, val_r = self._extract_np(im_right)
+    def _pad_feats(self, f):
+        n = self.extractor.n_total
+        pad = self.n_kp - n
+
+        def p(a, fill=0.0):
+            if pad == 0:
+                return a
+            width = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+            return jnp.pad(a, width, constant_values=fill)
+
+        return (p(f.uv), p(f.octave), p(f.angle), p(f.desc), p(f.response),
+                p(f.valid, False))
+
+    def _frontend_stereo_impl(self, im_left, im_right):
+        fl = self.extractor._extract(im_left)
+        fr = self.extractor._extract(im_right)
+        uv_l, oct_l, ang_l, desc_l, resp_l, val_l = self._pad_feats(fl)
+        uv_r, oct_r, ang_r, desc_r, resp_r, val_r = self._pad_feats(fr)
         if self._rectify_left is not None:
-            uv_l = np.asarray(cam_mod.rectify_keypoints(self._rectify_left, jnp.asarray(uv_l)))
-            uv_r = np.asarray(cam_mod.rectify_keypoints(self._rectify_right, jnp.asarray(uv_r)))
-        elif np.any(np.asarray(self.cfg.camera.dist)):
-            uv_l = np.asarray(cam_mod.undistort_keypoints(self._pin, jnp.asarray(uv_l)))
-            uv_r = np.asarray(cam_mod.undistort_keypoints(self._pin, jnp.asarray(uv_r)))
+            uv_l = cam_mod.rectify_keypoints(self._rectify_left, uv_l)
+            uv_r = cam_mod.rectify_keypoints(self._rectify_right, uv_r)
+        elif any(self.cfg.camera.dist):
+            uv_l = cam_mod.undistort_keypoints(self._pin, uv_l)
+            uv_r = cam_mod.undistort_keypoints(self._pin, uv_r)
         sm = stereo_mod.match_stereo(
-            jnp.asarray(uv_l), jnp.asarray(oct_l), jnp.asarray(desc_l), jnp.asarray(val_l),
-            jnp.asarray(uv_r), jnp.asarray(oct_r), jnp.asarray(desc_r), jnp.asarray(val_r),
-            jnp.asarray(im_left).astype(jnp.float32),
-            jnp.asarray(im_right).astype(jnp.float32),
+            uv_l, oct_l, desc_l, val_l, uv_r, oct_r, desc_r, val_r,
+            im_left.astype(jnp.float32), im_right.astype(jnp.float32),
             jnp.asarray(np.asarray(self.extractor.scales, np.float32)),
             self.cfg.camera.bf,
         )
+        return uv_l, oct_l, ang_l, desc_l, resp_l, val_l, sm.u_right, sm.depth
+
+    def _frontend_mono_impl(self, im, depth_map=None):
+        f = self.extractor._extract(im)
+        uv, octv, ang, desc, resp, valid = self._pad_feats(f)
+        if any(self.cfg.camera.dist):
+            uv = cam_mod.undistort_keypoints(self._pin, uv)
+        if depth_map is None:
+            n = self.n_kp
+            ur = jnp.full((n,), -1.0, jnp.float32)
+            dep = jnp.full((n,), -1.0, jnp.float32)
+        else:
+            factor = (1.0 / self.cfg.camera.depth_map_factor
+                      if self.cfg.camera.depth_map_factor not in (0, 1) else 1.0)
+            sm = stereo_mod.depth_to_disparity(
+                uv, valid, depth_map.astype(jnp.float32), self.cfg.camera.bf, factor
+            )
+            ur, dep = sm.u_right, sm.depth
+        return uv, octv, ang, desc, resp, valid, ur, dep
+
+    def _get_frontend(self, kind):
+        if not hasattr(self, "_frontends"):
+            self._frontends = {}
+        if kind not in self._frontends:
+            import jax
+
+            if kind == "stereo":
+                self._frontends[kind] = jax.jit(self._frontend_stereo_impl)
+            elif kind == "mono":
+                self._frontends[kind] = jax.jit(lambda im: self._frontend_mono_impl(im))
+            else:
+                self._frontends[kind] = jax.jit(
+                    lambda im, dm: self._frontend_mono_impl(im, dm)
+                )
+        return self._frontends[kind]
+
+    def _make_frame(self, dev_out, ts) -> Frame:
+        import jax
+
+        uv, octv, ang, desc, resp, valid, ur, dep = jax.device_get(dev_out)
         f = Frame(
             frame_id=self.frame_id, timestamp=ts,
-            uv=uv_l, octave=oct_l, angle=ang_l, desc=desc_l, response=resp_l,
-            u_right=np.asarray(sm.u_right), depth=np.asarray(sm.depth), valid=val_l,
+            uv=uv, octave=octv, angle=ang, desc=desc, response=resp,
+            u_right=ur, depth=dep, valid=valid,
         )
+        # seed the tracker-side device cache with the already-on-device arrays
+        f._dev = (dev_out[0], dev_out[1], dev_out[6], dev_out[5], dev_out[3],
+                  dev_out[2])
         return f
 
+    def _build_stereo_frame(self, im_left, im_right, ts) -> Frame:
+        out = self._get_frontend("stereo")(jnp.asarray(im_left), jnp.asarray(im_right))
+        return self._make_frame(out, ts)
+
     def _build_rgbd_frame(self, im, depth_map, ts) -> Frame:
-        uv, octv, ang, desc, resp, valid = self._extract_np(im)
-        if np.any(np.asarray(self.cfg.camera.dist)):
-            uv = np.asarray(cam_mod.undistort_keypoints(self._pin, jnp.asarray(uv)))
-        dm = jnp.asarray(depth_map).astype(jnp.float32)
-        factor = 1.0 / self.cfg.camera.depth_map_factor if self.cfg.camera.depth_map_factor not in (0, 1) else 1.0
-        sm = stereo_mod.depth_to_disparity(
-            jnp.asarray(uv), jnp.asarray(valid), dm, self.cfg.camera.bf, factor
-        )
-        return Frame(
-            frame_id=self.frame_id, timestamp=ts,
-            uv=uv, octave=octv, angle=ang, desc=desc, response=resp,
-            u_right=np.asarray(sm.u_right), depth=np.asarray(sm.depth), valid=valid,
-        )
+        out = self._get_frontend("rgbd")(jnp.asarray(im), jnp.asarray(depth_map))
+        return self._make_frame(out, ts)
 
     def _build_mono_frame(self, im, ts) -> Frame:
-        uv, octv, ang, desc, resp, valid = self._extract_np(im)
-        if np.any(np.asarray(self.cfg.camera.dist)):
-            uv = np.asarray(cam_mod.undistort_keypoints(self._pin, jnp.asarray(uv)))
-        n = self.n_kp
-        return Frame(
-            frame_id=self.frame_id, timestamp=ts,
-            uv=uv, octave=octv, angle=ang, desc=desc, response=resp,
-            u_right=np.full(n, -1.0, np.float32), depth=np.full(n, -1.0, np.float32),
-            valid=valid,
-        )
+        out = self._get_frontend("mono")(jnp.asarray(im))
+        return self._make_frame(out, ts)
 
     # ------------------------------------------------------------ lifecycle
     @property
     def state(self) -> TrackState:
         return self.tracker.state
+
+    def set_realtime_stream(self, path):
+        """Per-frame TUM-format pose stream appended as tracking runs
+        (reference: System::SetRealTimeFileStream System.cc:415)."""
+        self._rt_stream = open(path, "w")
+
+    def force_reloc(self):
+        """Reference: System::ForceRelocTracker (System.cc:798)."""
+        from gf_orb_slam2_tpu.tracking.tracker import TrackState
+
+        self.tracker.state = TrackState.LOST
+        self.tracker.velocity = None
+
+    def force_reinit(self):
+        """Reference: System::ForceInitTracker (System.cc:802) — full reset
+        and re-initialization from scratch."""
+        self.reset()
 
     def set_constr_per_frame(self, n: int):
         """Good-feature budget: number of actively matched constraints/frame

@@ -317,21 +317,19 @@ class Tracker:
         R0, t0 = self._predict_pose()
         radius = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
         kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = self._frame_dev(frame)
+        dev_in = jax.device_put((R0, t0, lf.R, lf.t, pt_pos, pt_oct, rows, pt_desc))
         res, kp_row, kp_valid0 = self._jit_motion(
-            jnp.asarray(R0), jnp.asarray(t0),
-            jnp.asarray(lf.R), jnp.asarray(lf.t),
-            jnp.asarray(pt_pos), jnp.asarray(pt_oct), jnp.asarray(rows),
-            jnp.asarray(pt_desc),
-            kp_uv, kp_oct, kp_ur, kp_val, kp_desc, jnp.float32(radius),
+            *dev_in, kp_uv, kp_oct, kp_ur, kp_val, kp_desc, jnp.float32(radius),
         )
-        kp_row = np.asarray(kp_row)
-        inl = np.asarray(res.inliers)
+        kp_row, inl, R_h, t_h, n_inl = jax.device_get(
+            (kp_row, res.inliers, res.R, res.t, res.n_inliers)
+        )
         frame.mp_ids = np.where(kp_row >= 0, ids[np.maximum(kp_row, 0)], -1).astype(np.int32)
         frame.mp_ids[~inl] = -1
-        frame.R = np.asarray(res.R)
-        frame.t = np.asarray(res.t)
+        frame.R = R_h
+        frame.t = t_h
         st.n_motion_matches = int((kp_row >= 0).sum())
-        return int(res.n_inliers) >= 20
+        return int(n_inl) >= 20
 
     def _track_reference_kf(self, frame: Frame, st: TrackStats) -> bool:
         if self.ref_kf < 0:
@@ -345,19 +343,18 @@ class Tracker:
         R0 = self.last_frame.R if self.last_frame is not None else np.eye(3, dtype=np.float32)
         t0 = self.last_frame.t if self.last_frame is not None else np.zeros(3, np.float32)
         kp_uv, kp_oct, kp_ur, kp_val, kp_desc, kp_ang = self._frame_dev(frame)
+        dev_in = jax.device_put((R0, t0, s.kf_desc[k], rows, s.kf_angle[k], pt_pos, rows))
         res, kp_row, _ = self._jit_refkf(
-            jnp.asarray(R0), jnp.asarray(t0),
-            jnp.asarray(s.kf_desc[k]), jnp.asarray(rows), jnp.asarray(s.kf_angle[k]),
-            jnp.asarray(pt_pos), jnp.asarray(rows),
-            kp_uv, kp_oct, kp_ur, kp_val, kp_desc, kp_ang,
+            *dev_in, kp_uv, kp_oct, kp_ur, kp_val, kp_desc, kp_ang,
         )
-        kp_row = np.asarray(kp_row)
-        inl = np.asarray(res.inliers)
+        kp_row, inl, R_h, t_h, n_inl = jax.device_get(
+            (kp_row, res.inliers, res.R, res.t, res.n_inliers)
+        )
         frame.mp_ids = np.where(kp_row >= 0, ref_ids[np.maximum(kp_row, 0)], -1).astype(np.int32)
         frame.mp_ids[~inl] = -1
-        frame.R = np.asarray(res.R)
-        frame.t = np.asarray(res.t)
-        return int(res.n_inliers) >= 15
+        frame.R = R_h
+        frame.t = t_h
+        return int(n_inl) >= 15
 
     def _gather_local_map(self, frame: Frame):
         """Local map = KFs sharing points with the frame (K1) + their best
@@ -440,30 +437,33 @@ class Tracker:
         kp_mp_pos[has] = s.point_pos[frame.mp_ids[has]]
         extra_r = 2.0 if self.state == TrackState.LOST else 1.0
         kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = self._frame_dev(frame)
+        dev_in = jax.device_put(
+            (frame.R, frame.t, loc_pos, loc_normal, loc_mind, loc_maxd,
+             loc_desc, loc_valid, already, kp_mp_pos, has)
+        )
+        (R0_d, t0_d, lp_d, ln_d, lmi_d, lma_d, ld_d, lv_d, la_d, kmp_d, has_d) = dev_in
         res, kp_row, new_valid, n_vis = self._jit_local(
-            jnp.asarray(frame.R), jnp.asarray(frame.t),
-            jnp.asarray(loc_pos), jnp.asarray(loc_normal), jnp.asarray(loc_mind),
-            jnp.asarray(loc_maxd), jnp.asarray(loc_desc), jnp.asarray(loc_valid),
-            jnp.asarray(already),
+            R0_d, t0_d, lp_d, ln_d, lmi_d, lma_d, ld_d, lv_d, la_d,
             kp_uv, kp_oct, kp_ur, kp_val, kp_desc,
-            jnp.asarray(kp_mp_pos), jnp.asarray(has), jnp.float32(extra_r),
+            kmp_d, has_d, jnp.float32(extra_r),
             jax.random.PRNGKey(frame.frame_id),
         )
-        kp_row = np.asarray(kp_row)
-        inl = np.asarray(res.inliers)
+        kp_row, inl, R_h, t_h, n_inl_d = jax.device_get(
+            (kp_row, res.inliers, res.R, res.t, res.n_inliers)
+        )
         pts_pad = np.concatenate([pts, np.full(pad, -1, np.int64)])
         new_ids = np.where(kp_row >= 0, pts_pad[np.maximum(kp_row, 0)], frame.mp_ids)
         frame.mp_ids = new_ids.astype(np.int32)
         frame.is_outlier = (frame.mp_ids >= 0) & ~inl
         frame.mp_ids[frame.is_outlier] = -1
-        frame.R = np.asarray(res.R)
-        frame.t = np.asarray(res.t)
+        frame.R = R_h
+        frame.t = t_h
         st.n_local_matches = int((kp_row >= 0).sum())
         # found/visible counters (reference IncreaseFound, Tracking.cc:1600)
         tracked = frame.mp_ids[frame.mp_ids >= 0]
         s.point_found[tracked] += 1
         s.point_visible[pts] += 1
-        n_inl = int(res.n_inliers)
+        n_inl = int(n_inl_d)
         recently_reloc = (
             frame.frame_id - self._last_reloc_frame
             < self.cfg.tracking.max_frames_between_kf
@@ -494,20 +494,20 @@ class Tracker:
             pt_pos = np.zeros((self.n_kp, 3), np.float32)
             pt_pos[rows] = s.point_pos[ref_ids[rows]]
             kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = self._frame_dev(frame)
+            dev_in = jax.device_put((s.kf_desc[k], rows & s.kf_kp_valid[k], pt_pos))
             res, kp_row, pnp_ok = self._jit_reloc(
-                jnp.asarray(s.kf_desc[k]), jnp.asarray(rows & s.kf_kp_valid[k]),
-                jnp.asarray(pt_pos),
-                kp_uv, kp_oct, kp_ur, kp_val, kp_desc,
+                *dev_in, kp_uv, kp_oct, kp_ur, kp_val, kp_desc,
                 jax.random.PRNGKey(frame.frame_id),
             )
-            if not bool(pnp_ok) or int(res.n_inliers) < 15:
+            kp_row, inl, R_h, t_h, n_inl, pnp_ok_h = jax.device_get(
+                (kp_row, res.inliers, res.R, res.t, res.n_inliers, pnp_ok)
+            )
+            if not bool(pnp_ok_h) or int(n_inl) < 15:
                 continue
-            kp_row = np.asarray(kp_row)
-            inl = np.asarray(res.inliers)
             frame.mp_ids = np.where(kp_row >= 0, ref_ids[np.maximum(kp_row, 0)], -1).astype(np.int32)
             frame.mp_ids[~inl] = -1
-            frame.R = np.asarray(res.R)
-            frame.t = np.asarray(res.t)
+            frame.R = R_h
+            frame.t = t_h
             self.ref_kf = k
             self._last_reloc_frame = frame.frame_id
             return True
