@@ -172,45 +172,65 @@ class LocalMapper:
         )
         return Xw, best_idx, accept & ok
 
+    TRI_BATCH = 10  # padded neighbor-pair batch (one device call per KF)
+
     def create_new_points(self, kf: int) -> int:
-        """Triangulate new points between kf and its best covisible KFs."""
+        """Triangulate new points between kf and its best covisible KFs.
+
+        All neighbor pairs run as ONE vmapped device program (a per-pair call
+        costs a full host↔device round-trip on remote-attached TPUs);
+        cross-pair duplicate claims are resolved in the host write-back.
+        """
         s = self.store
-        n_neigh = 10 if self.cfg.sensor != Sensor.MONOCULAR else 20
-        neighbors = s.covisible_kfs(kf, n_neigh)
+        neighbors = [int(k) for k in s.covisible_kfs(kf, self.TRI_BATCH)]
+        if self.cfg.sensor != Sensor.MONOCULAR:
+            # baseline check (reference: LocalMapping.cc:410)
+            neighbors = [
+                kn for kn in neighbors
+                if np.linalg.norm(s.kf_center(kf) - s.kf_center(kn))
+                >= self.cfg.camera.baseline
+            ]
         free_k = (s.kf_point[kf] < 0) & s.kf_kp_valid[kf]
+        if not neighbors or free_k.sum() == 0:
+            return 0
+        B = self.TRI_BATCH
+        kns = (neighbors + [kf] * B)[:B]  # pad with self-pairs (masked below)
+        pair_mask = np.asarray([kn != kf for kn in kns])
+        free_n = np.stack(
+            [(s.kf_point[kn] < 0) & s.kf_kp_valid[kn] & (kn != kf) for kn in kns]
+        )
+        dev_in = jax.device_put((
+            np.broadcast_to(s.kf_R[kf], (B, 3, 3)),
+            np.broadcast_to(s.kf_t[kf], (B, 3)),
+            s.kf_R[kns], s.kf_t[kns],
+            np.broadcast_to(s.kf_uv[kf], (B,) + s.kf_uv[kf].shape),
+            np.broadcast_to(s.kf_octave[kf], (B,) + s.kf_octave[kf].shape),
+            np.broadcast_to(s.kf_desc[kf], (B,) + s.kf_desc[kf].shape),
+            np.broadcast_to(free_k, (B,) + free_k.shape),
+            np.broadcast_to(s.kf_u_right[kf], (B,) + s.kf_u_right[kf].shape),
+            s.kf_uv[kns], s.kf_octave[kns], s.kf_desc[kns], free_n,
+            s.kf_u_right[kns],
+        ))
+        if not hasattr(self, "_jit_triangulate_batch"):
+            self._jit_triangulate_batch = jax.jit(jax.vmap(self._triangulate_pair_impl))
+        Xw_b, idx2_b, ok_b = jax.device_get(self._jit_triangulate_batch(*dev_in))
         created = 0
-        for kn in neighbors:
-            kn = int(kn)
-            # baseline check (reference: LocalMapping.cc:410 — skip if
-            # baseline too small vs scene depth)
-            baseline = np.linalg.norm(s.kf_center(kf) - s.kf_center(kn))
-            if self.cfg.sensor != Sensor.MONOCULAR:
-                if baseline < self.cfg.camera.baseline:
-                    continue
-            free_n = (s.kf_point[kn] < 0) & s.kf_kp_valid[kn]
-            if free_k.sum() == 0 or free_n.sum() == 0:
+        for b in range(B):
+            if not pair_mask[b]:
                 continue
-            dev_in = jax.device_put((
-                s.kf_R[kf], s.kf_t[kf], s.kf_R[kn], s.kf_t[kn],
-                s.kf_uv[kf], s.kf_octave[kf], s.kf_desc[kf], free_k,
-                s.kf_u_right[kf],
-                s.kf_uv[kn], s.kf_octave[kn], s.kf_desc[kn], free_n,
-                s.kf_u_right[kn],
-            ))
-            Xw, idx2, ok = jax.device_get(self._jit_triangulate(*dev_in))
-            for i1 in np.nonzero(ok)[0]:
+            kn = kns[b]
+            for i1 in np.nonzero(ok_b[b])[0]:
                 if s.kf_point[kf, i1] >= 0:
                     continue  # claimed by an earlier pair this round
-                i2 = int(idx2[i1])
+                i2 = int(idx2_b[b, i1])
                 if s.kf_point[kn, i2] >= 0:
                     continue
-                p = s.add_point(Xw[i1], s.kf_desc[kf, i1], first_kf=kf)
+                p = s.add_point(Xw_b[b, i1], s.kf_desc[kf, i1], first_kf=kf)
                 s.add_observation(p, kf, int(i1))
                 s.add_observation(p, kn, i2)
                 s.update_normal_and_depth(p, self.level_scales)
                 self.recent_points.append((p, kf))
                 created += 1
-            free_k = (s.kf_point[kf] < 0) & s.kf_kp_valid[kf]
         if created:
             s.update_connections(kf)
         return created
@@ -239,41 +259,57 @@ class LocalMapper:
         )
         return m.idx, m.valid
 
+    FUSE_BATCH = 20  # padded (src,dst)-pair batch: one device call per KF
+
     def fuse_neighbors(self, kf: int) -> int:
         """Reference: SearchInNeighbors (LocalMapping.cc:634) — project kf's
-        points into neighbors and vice versa; merge duplicates."""
+        points into neighbors and vice versa; merge duplicates. All pairs run
+        as one vmapped device program."""
         s = self.store
-        neighbors = [int(k) for k in s.covisible_kfs(kf, 10)]
+        neighbors = [int(k) for k in s.covisible_kfs(kf, self.FUSE_BATCH // 2)]
         if not neighbors:
             return 0
-        fused = 0
         pairs = [(kf, kn) for kn in neighbors] + [(kn, kf) for kn in neighbors]
-        for src, dst in pairs:
+        B = self.FUSE_BATCH
+        pairs = pairs[:B]
+        P = self.n_kp
+        pt_pos_b = np.zeros((B, P, 3), np.float32)
+        pt_desc_b = np.zeros((B, P, 8), np.uint32)
+        pt_valid_b = np.zeros((B, P), bool)
+        dst_list = []
+        pts_list = []
+        for bi, (src, dst) in enumerate(pairs):
             pts = s.kf_point[src]
             pts = np.unique(pts[pts >= 0])
-            pts = pts[s.point_valid[pts]]
-            if pts.size == 0:
-                continue
-            P = self.n_kp
-            pad = P - pts.size if pts.size < P else 0
-            pts = pts[:P]
-            pt_pos = np.zeros((P, 3), np.float32)
-            pt_desc = np.zeros((P, 8), np.uint32)
-            pt_valid = np.zeros(P, bool)
-            pt_pos[: pts.size] = s.point_pos[pts]
-            pt_desc[: pts.size] = s.point_desc[pts]
-            pt_valid[: pts.size] = True
-            dev_in = jax.device_put((
-                s.kf_R[dst], s.kf_t[dst], pt_pos, np.zeros(P, np.int32),
-                pt_valid, pt_desc, s.kf_uv[dst], s.kf_octave[dst],
-                s.kf_kp_valid[dst], s.kf_desc[dst],
-            ))
-            idx, ok = jax.device_get(self._jit_fuse(*dev_in))
-            for r in np.nonzero(ok)[0]:
+            pts = pts[s.point_valid[pts]][:P]
+            pts_list.append(pts)
+            dst_list.append(dst)
+            if pts.size:
+                pt_pos_b[bi, : pts.size] = s.point_pos[pts]
+                pt_desc_b[bi, : pts.size] = s.point_desc[pts]
+                pt_valid_b[bi, : pts.size] = True
+        n_pairs = len(pairs)
+        if n_pairs < B:  # pad with masked dummies against kf itself
+            dst_list += [kf] * (B - n_pairs)
+        dsts = np.asarray(dst_list, int)
+        dev_in = jax.device_put((
+            s.kf_R[dsts], s.kf_t[dsts], pt_pos_b,
+            np.zeros((B, P), np.int32), pt_valid_b, pt_desc_b,
+            s.kf_uv[dsts], s.kf_octave[dsts], s.kf_kp_valid[dsts],
+            s.kf_desc[dsts],
+        ))
+        if not hasattr(self, "_jit_fuse_batch"):
+            self._jit_fuse_batch = jax.jit(jax.vmap(self._fuse_impl))
+        idx_b, ok_b = jax.device_get(self._jit_fuse_batch(*dev_in))
+        fused = 0
+        for bi in range(n_pairs):
+            pts = pts_list[bi]
+            dst = dst_list[bi]
+            for r in np.nonzero(ok_b[bi])[0]:
                 p = int(pts[r]) if r < pts.size else -1
                 if p < 0 or not s.point_valid[p]:
                     continue
-                j = int(idx[r])
+                j = int(idx_b[bi, r])
                 q = int(s.kf_point[dst, j])
                 if q >= 0 and s.point_valid[q]:
                     if q != p:
