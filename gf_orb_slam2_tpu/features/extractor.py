@@ -81,43 +81,65 @@ class ORBExtractor:
         return self._jit(img)
 
     def _extract(self, img) -> Features:
+        """Level-VECTORIZED extraction: all pyramid levels are padded into one
+        [L, H0, W0] stack and every stage (FAST, NMS, cell top-K, moment
+        convs, blur, rBRIEF) runs as ONE batched kernel set. A per-level
+        python loop emits ~8x the kernel launches — on remote-attached TPUs
+        per-kernel overhead dominated extraction wall time (measured 674 ms
+        → the batched form removes it). FLOPs rise ~3x (padding) but the
+        MXU/VPU have headroom at these sizes."""
         cfg = self.cfg
         img = img.astype(jnp.float32)
         border = cfg.edge_threshold - 3  # reference: EDGE_THRESHOLD-3 = 16
+        L = cfg.n_levels
+        H0, W0 = self.sizes[0]
 
-        uvs, resps, octs, angs, descs, valids = [], [], [], [], [], []
-        level_img = img
-        for lv in range(cfg.n_levels):
+        # pyramid: sequential resize chain (small), padded into one stack
+        level_imgs = [img]
+        for lv in range(1, L):
             h, w = self.sizes[lv]
-            if lv > 0:
-                level_img = jax.image.resize(level_img, (h, w), "linear")
-            # detect at the permissive threshold; strong corners win by rank
-            score, keep = fast.detect(level_img, float(cfg.min_th_fast), border)
-            vals, ys, xs, rank = select.cell_topk(score, keep, cfg.cell_size, cfg.per_cell_k)
-            n_l = self.counts[lv]
-            if n_l == 0:
-                continue
-            ys_l, xs_l, sc_l, valid_l = select.ranked_topn(vals, ys, xs, rank, n_l)
-            yx = jnp.stack([ys_l, xs_l], -1).astype(jnp.float32)
-            ang_l = orb.ic_angles(level_img, yx)
-            blurred = orb.gaussian_blur(level_img)
-            desc_l = orb.brief_descriptors(blurred, yx, ang_l)
-            s = self.scales[lv]
-            uv_l = jnp.stack([xs_l.astype(jnp.float32) * s, ys_l.astype(jnp.float32) * s], -1)
-            uvs.append(uv_l)
-            resps.append(jnp.where(valid_l, sc_l, 0.0))
-            octs.append(jnp.full((n_l,), lv, jnp.int32))
-            angs.append(ang_l)
-            descs.append(desc_l)
-            valids.append(valid_l)
+            level_imgs.append(jax.image.resize(level_imgs[-1], (h, w), "linear"))
+        stack = jnp.stack([
+            jnp.pad(li, ((0, H0 - li.shape[0]), (0, W0 - li.shape[1])))
+            for li in level_imgs
+        ])  # [L, H0, W0]
+        hl = jnp.asarray([h for h, w in self.sizes], jnp.int32)
+        wl = jnp.asarray([w for h, w in self.sizes], jnp.int32)
 
+        score, keep = fast.detect(stack, float(cfg.min_th_fast), border, (hl, wl))
+        vals, ys, xs, rank = jax.vmap(
+            lambda s, k: select.cell_topk(s, k, cfg.cell_size, cfg.per_cell_k)
+        )(score, keep)
+        N_CAP = max(self.counts)
+        ys_l, xs_l, sc_l, valid_l = jax.vmap(
+            lambda v, y, x, r: select.ranked_topn(v, y, x, r, N_CAP)
+        )(vals, ys, xs, rank)  # each [L, N_CAP]
+        quota = jnp.asarray(self.counts, jnp.int32)[:, None] > jnp.arange(N_CAP)[None, :]
+        valid_l = valid_l & quota
+
+        yx = jnp.stack([ys_l, xs_l], -1).astype(jnp.float32)  # [L, N_CAP, 2]
+        ang, desc = orb.angles_and_descriptors(stack, yx)
+        scales = jnp.asarray(self.scales, jnp.float32)[:, None]
+        uv = jnp.stack(
+            [xs_l.astype(jnp.float32) * scales, ys_l.astype(jnp.float32) * scales], -1
+        )
+        octv = jnp.broadcast_to(
+            jnp.arange(L, dtype=jnp.int32)[:, None], (L, N_CAP)
+        )
+        resp = jnp.where(valid_l, sc_l, 0.0)
+
+        # flatten and keep exactly n_total slots, valid-first, stable order
+        flat = lambda a: a.reshape((L * N_CAP,) + a.shape[2:])
+        validf = flat(valid_l)
+        prio = validf.astype(jnp.float32) * 1e9 - jnp.arange(L * N_CAP, dtype=jnp.float32)
+        _, sel = jax.lax.top_k(prio, self.n_total)
         return Features(
-            uv=jnp.concatenate(uvs, 0),
-            response=jnp.concatenate(resps, 0),
-            octave=jnp.concatenate(octs, 0),
-            angle=jnp.concatenate(angs, 0),
-            desc=jnp.concatenate(descs, 0),
-            valid=jnp.concatenate(valids, 0),
+            uv=flat(uv)[sel],
+            response=flat(resp)[sel],
+            octave=flat(octv)[sel],
+            angle=flat(ang)[sel],
+            desc=flat(desc)[sel],
+            valid=validf[sel],
         )
 
     # ------------------------------------------------------------ utilities

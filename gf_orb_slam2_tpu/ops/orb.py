@@ -42,16 +42,22 @@ def _ic_kernels():
 
 
 def moment_maps(img):
-    """Dense m10/m01 maps via two 31x31 convolutions. img: [H,W] f32."""
+    """Dense m10/m01 maps via two 31x31 convolutions.
+
+    img: [..., H, W] f32 — leading dims (pyramid levels) are conv batch, so
+    the whole pyramid is ONE conv kernel launch."""
     kx, ky = _ic_kernels()
     k = jnp.stack([jnp.asarray(kx), jnp.asarray(ky)], 0)[:, None]  # [2,1,31,31]
-    x = img[None, None]  # [1,1,H,W]
+    batch = img.shape[:-2]
+    h, w = img.shape[-2:]
+    x = img.reshape((-1, 1, h, w))
     out = jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         precision=jax.lax.Precision.HIGHEST,
     )
-    return out[0, 0], out[0, 1]  # m10, m01
+    out = out.reshape(batch + (2, h, w))
+    return out[..., 0, :, :], out[..., 1, :, :]  # m10, m01
 
 
 def ic_angles(img, yx):
@@ -60,6 +66,16 @@ def ic_angles(img, yx):
     y = yx[..., 0].astype(jnp.int32)
     x = yx[..., 1].astype(jnp.int32)
     return jnp.arctan2(m01[y, x], m10[y, x])
+
+
+def ic_angles_batched(imgs, yx):
+    """Batched orientation: imgs [L,H,W], yx [L,N,2] → [L,N]."""
+    m10, m01 = moment_maps(imgs)  # [L,H,W] each
+    L = imgs.shape[0]
+    li = jnp.arange(L)[:, None]
+    y = yx[..., 0].astype(jnp.int32)
+    x = yx[..., 1].astype(jnp.int32)
+    return jnp.arctan2(m01[li, y, x], m10[li, y, x])
 
 
 # ------------------------------------------------------------------- pattern
@@ -118,13 +134,109 @@ def _gauss_kernel(ksize=7, sigma=2.0):
 
 def gaussian_blur(img, ksize=7, sigma=2.0):
     """Separable Gaussian blur (reference blurs each level before rBRIEF,
-    src/ORBextractor.cc:1148 GaussianBlur(…,7,7,2,2))."""
+    src/ORBextractor.cc:1148 GaussianBlur(…,7,7,2,2)). Batched over leading
+    dims."""
     g = jnp.asarray(_gauss_kernel(ksize, sigma))
-    x = img[None, None]
+    batch = img.shape[:-2]
+    h, w = img.shape[-2:]
+    x = img.reshape((-1, 1, h, w))
     kx = g[None, None, None, :]
     ky = g[None, None, :, None]
     x = jax.lax.conv_general_dilated(
         x, kx, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
     x = jax.lax.conv_general_dilated(
         x, ky, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return x[0, 0]
+    return x.reshape(batch + (h, w))
+
+
+def brief_descriptors_batched(imgs_blur, yx, angles):
+    """Batched rBRIEF: imgs_blur [L,H,W], yx [L,N,2], angles [L,N] →
+    uint32 [L,N,8] (one gather for the whole pyramid)."""
+    pat = jnp.asarray(brief_pattern())  # [256,2,2]
+    c, s = jnp.cos(angles), jnp.sin(angles)  # [L,N]
+    dy = pat[None, None, :, :, 0]  # [1,1,256,2]
+    dx = pat[None, None, :, :, 1]
+    ry = dx * s[..., None, None] + dy * c[..., None, None]  # [L,N,256,2]
+    rx = dx * c[..., None, None] - dy * s[..., None, None]
+    py = jnp.round(yx[..., None, None, 0] + ry).astype(jnp.int32)
+    px = jnp.round(yx[..., None, None, 1] + rx).astype(jnp.int32)
+    h, w = imgs_blur.shape[-2:]
+    py = jnp.clip(py, 0, h - 1)
+    px = jnp.clip(px, 0, w - 1)
+    L = imgs_blur.shape[0]
+    li = jnp.arange(L)[:, None, None, None]
+    vals = imgs_blur[li, py, px]  # [L,N,256,2]
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)  # [L,N,256]
+    bits = bits.reshape(bits.shape[:-1] + (8, 32))
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)  # [L,N,8]
+
+
+# ---------------------------------------------------------------------------
+# Patch-based fused path: one [L,N,37,37] gather feeds IC-angle moments,
+# per-patch separable blur, and rBRIEF sampling. Full-image 31x31 moment
+# convolutions and pyramid-wide blurs are pathologically slow on backends
+# where channels-1 convs can't use the MXU; the patch formulation is pure
+# gather + fused elementwise/einsum work.
+PATCH_R = 18  # 37x37 raw patch: 15 (moments) + blur margin 3
+
+
+def patches_at(stack, yx):
+    """Gather [L,N,37,37] raw patches centered at yx (row, col)."""
+    L, N = yx.shape[:2]
+    h, w = stack.shape[-2:]
+    d = jnp.arange(-PATCH_R, PATCH_R + 1)
+    y = jnp.clip(yx[..., 0:1].astype(jnp.int32) + d[None, None, :], 0, h - 1)
+    x = jnp.clip(yx[..., 1:2].astype(jnp.int32) + d[None, None, :], 0, w - 1)
+    li = jnp.arange(L)[:, None, None, None]
+    return stack[li, y[..., :, None], x[..., None, :]]  # [L,N,37,37]
+
+
+def _blur_patch(patch, ksize=7, sigma=2.0):
+    """Separable 7-tap Gaussian via shifted slices (fused elementwise)."""
+    g = _gauss_kernel(ksize, sigma)
+    half = ksize // 2
+    size = patch.shape[-1]
+    out = None
+    for i, w_ in enumerate(g):
+        sl = patch[..., :, i : size - 2 * half + i]
+        out = w_ * sl if out is None else out + w_ * sl
+    patch_r = out  # rows blurred: [..., 37, 31]
+    out = None
+    for i, w_ in enumerate(g):
+        sl = patch_r[..., i : size - 2 * half + i, :]
+        out = w_ * sl if out is None else out + w_ * sl
+    return out  # [..., 31, 31]
+
+
+def angles_and_descriptors(stack, yx):
+    """Fused IC-angle + rBRIEF from ONE patch gather.
+
+    stack: [L,H,W] f32 pyramid; yx: [L,N,2] keypoint (row, col).
+    Returns (angles [L,N], desc uint32 [L,N,8]).
+    """
+    patch = patches_at(stack, yx)  # [L,N,37,37]
+    center31 = patch[..., 3:34, 3:34]
+    kx, ky = _ic_kernels()
+    m10 = jnp.einsum("lnab,ab->ln", center31, jnp.asarray(kx))
+    m01 = jnp.einsum("lnab,ab->ln", center31, jnp.asarray(ky))
+    angles = jnp.arctan2(m01, m10)
+
+    blurred = _blur_patch(patch)  # [L,N,31,31] blurred, centered at (15,15)
+    pat = jnp.asarray(brief_pattern())  # [256,2,2]
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    dy = pat[None, None, :, :, 0]
+    dx = pat[None, None, :, :, 1]
+    ry = dx * s[..., None, None] + dy * c[..., None, None]
+    rx = dx * c[..., None, None] - dy * s[..., None, None]
+    py = jnp.clip(jnp.round(15.0 + ry).astype(jnp.int32), 0, 30)  # [L,N,256,2]
+    px = jnp.clip(jnp.round(15.0 + rx).astype(jnp.int32), 0, 30)
+    L, N = angles.shape
+    li = jnp.arange(L)[:, None, None, None]
+    ni = jnp.arange(N)[None, :, None, None]
+    vals = blurred[li, ni, py, px]  # [L,N,256,2]
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)
+    bits = bits.reshape(bits.shape[:-1] + (8, 32))
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    desc = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+    return angles, desc

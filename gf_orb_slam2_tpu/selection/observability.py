@@ -105,6 +105,33 @@ def pose_info_from_frame(q, p, pts, fx, fy, bf, stereo_mask, inv_sigma2, valid):
     return jnp.sum(M, axis=0)
 
 
+def _chol_logdet_unrolled(M, eps=1e-6):
+    """log|M| of small PSD matrices [..., D, D] via fully-unrolled Cholesky.
+
+    LAPACK-style slogdet/LU kernels have large fixed costs per invocation —
+    deadly inside the greedy selection scan (one call per round). The
+    unrolled Crout recursion is ~D²/2 fused elementwise ops over the batch,
+    so it melts into the surrounding program. D is static and small (7/13).
+    """
+    D = M.shape[-1]
+    L = [[None] * D for _ in range(D)]
+    logdet = 0.0
+    for j in range(D):
+        acc = M[..., j, j]
+        for k in range(j):
+            acc = acc - L[j][k] * L[j][k]
+        djj = jnp.sqrt(jnp.maximum(acc, eps))
+        L[j][j] = djj
+        logdet = logdet + 2.0 * jnp.log(djj)
+        inv = 1.0 / djj
+        for i in range(j + 1, D):
+            a = M[..., i, j]
+            for k in range(j):
+                a = a - L[i][k] * L[j][k]
+            L[i][j] = a * inv
+    return logdet
+
+
 def logdet_psd(M, eps=1e-3):
     """log-determinant of a PSD matrix (batched), f32-robust.
 
@@ -112,11 +139,16 @@ def logdet_psd(M, eps=1e-3):
     (Observability.h:85); in f32 the raw determinant underflows/overflows for
     info matrices whose diagonal spans ~1e5..1e8, so we scale-normalize by
     the diagonal first: logdet(M) = logdet(D^-½ M D^-½) + Σ log dᵢ.
+    Small static D (≤16) uses the unrolled Cholesky; larger falls back to
+    slogdet.
     """
     d = M.shape[-1]
     diag = jnp.diagonal(M, axis1=-2, axis2=-1)
     s = jnp.sqrt(jnp.maximum(diag, eps))
     Mn = M / (s[..., :, None] * s[..., None, :])
     Mn = Mn + 1e-5 * jnp.eye(d, dtype=M.dtype)
-    sign, ld = jnp.linalg.slogdet(Mn)
+    if d <= 16:
+        ld = _chol_logdet_unrolled(Mn)
+    else:
+        _, ld = jnp.linalg.slogdet(Mn)
     return ld + 2.0 * jnp.sum(jnp.log(s), axis=-1)
