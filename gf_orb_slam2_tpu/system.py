@@ -234,7 +234,10 @@ class System:
         return f
 
     def _build_stereo_frame(self, im_left, im_right, ts) -> Frame:
-        out = self._get_frontend("stereo")(jnp.asarray(im_left), jnp.asarray(im_right))
+        import jax
+
+        imgs = jax.device_put((im_left, im_right))  # one H2D round-trip
+        out = self._get_frontend("stereo")(*imgs)
         return self._make_frame(out, ts)
 
     def _build_rgbd_frame(self, im, depth_map, ts) -> Frame:
