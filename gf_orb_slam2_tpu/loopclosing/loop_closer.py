@@ -137,14 +137,20 @@ class LoopCloser:
                 min_inliers=self.cfg.loop.min_sim3_inliers,
             )
             if bool(res.ok):
-                # Sim3 maps kf-camera coords → candidate-camera coords
-                return (
-                    c,
-                    float(res.s),
-                    np.asarray(res.R),
-                    np.asarray(res.t),
-                    int(res.n_inliers),
+                # GN polish (reference: OptimizeSim3 between RANSAC and the
+                # guided-projection verification, LoopClosing.cc:380)
+                from gf_orb_slam2_tpu.loopclosing.sim3solver import optimize_sim3
+
+                s_o, R_o, t_o, inl_o = optimize_sim3(
+                    res.s, res.R, res.t,
+                    jnp.asarray(pc1), jnp.asarray(pc2), res.inliers,
+                    cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=self.fix_scale,
                 )
+                n_o = int(jnp.sum(inl_o))
+                if n_o < self.cfg.loop.min_sim3_inliers:
+                    continue
+                # Sim3 maps kf-camera coords → candidate-camera coords
+                return (c, float(s_o), np.asarray(R_o), np.asarray(t_o), n_o)
         return None
 
     # ----------------------------------------------------- loop correction

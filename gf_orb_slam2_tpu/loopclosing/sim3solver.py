@@ -26,6 +26,56 @@ class Sim3Result(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+def optimize_sim3(
+    s0, R0, t0, pc1, pc2, inliers, fx, fy, cx, cy,
+    fix_scale: bool = False, iters: int = 8, th2_px: float = 9.21,
+):
+    """GN polish of a relative Sim3 with two-way reprojection residuals.
+
+    Replaces Optimizer::OptimizeSim3 (reference: src/Optimizer.cc, decl
+    Optimizer.h:100 — g2o over one Sim3 vertex with inverse/forward
+    projection edges and Huber gating). 7-dof left-mult update via autodiff
+    Jacobians, fixed iterations, chi2 re-gate at the end.
+    """
+    import jax
+
+    from gf_orb_slam2_tpu.utils.precision import einsum
+
+    def residuals(xi, s, R, t):
+        ds, dR, dt = lie.sim3_exp(xi)
+        s_, R_, t_ = lie.sim3_compose(ds, dR, dt, s, R, t)
+        p1in2 = lie.sim3_apply(s_[None], R_, t_, pc1)
+        si, Ri, ti = lie.sim3_inv(s_, R_, t_)
+        p2in1 = lie.sim3_apply(si[None], Ri, ti, pc2)
+
+        def proj(p):
+            z = jnp.maximum(p[..., 2], 1e-6)
+            return jnp.stack([fx * p[..., 0] / z + cx, fy * p[..., 1] / z + cy], -1)
+
+        r2 = proj(p1in2) - proj(pc2)
+        r1 = proj(p2in1) - proj(pc1)
+        return jnp.concatenate([r1, r2], -1)  # [N,4]
+
+    w0 = inliers.astype(pc1.dtype)
+    s, R, t = s0, R0, t0
+    mask7 = jnp.ones(7)
+    if fix_scale:
+        mask7 = mask7.at[6].set(0.0)
+    for _ in range(iters):
+        zero = jnp.zeros(7)
+        r = residuals(zero, s, R, t)  # [N,4]
+        J = jax.jacfwd(residuals)(zero, s, R, t)  # [N,4,7]
+        H = einsum("n,nri,nrj->ij", w0, J, J) + 1e-4 * jnp.eye(7)
+        b = einsum("n,nri,nr->i", w0, J, r)
+        xi = -jnp.linalg.solve(H, b) * mask7
+        ds, dR, dt = lie.sim3_exp(xi)
+        s, R, t = lie.sim3_compose(ds, dR, dt, s, R, t)
+    r = residuals(jnp.zeros(7), s, R, t)
+    e2 = jnp.sum(r[..., :2] ** 2, -1) + jnp.sum(r[..., 2:] ** 2, -1)
+    inl = inliers & (e2 < 2 * th2_px)
+    return s, R, t, inl
+
+
 def solve_sim3(
     pc1, pc2, valid, fx, fy, cx, cy, key,
     fix_scale: bool = False, n_hyp: int = 128,
