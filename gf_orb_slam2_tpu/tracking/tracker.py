@@ -97,6 +97,8 @@ class Tracker:
         self._jit_refkf = jax.jit(self._refkf_step_impl)
         self._jit_local = jax.jit(self._local_step_impl)
         self._jit_reloc = jax.jit(self._reloc_step_impl)
+        self._jit_fused = jax.jit(self._fused_track_impl)
+        self._cached_pool = None  # (ids, device loc arrays) for the fused path
         self._last_reloc_frame = -10**9
         self.kfdb = None  # set by System once place recognition is up
         self.mih = None   # set by System when hashing is enabled
@@ -176,6 +178,36 @@ class Tracker:
             inv_sigma2, kp_mp_valid, fx, fy, cx, cy, bf,
         )
         return res, kp_row, pnp.ok
+
+    def _fused_track_impl(
+        self, R0, t0, R_init, t_init, pt_pos, pt_oct, pt_valid, pt_desc,
+        loc_pos, loc_normal, loc_mind, loc_maxd, loc_desc, loc_valid,
+        kp_uv, kp_oct, kp_ur, kp_valid, kp_desc, radius, extra_radius, rng_key,
+    ):
+        """Motion-model step + local-map step chained in ONE device program.
+
+        The local candidate pool is the one gathered after the PREVIOUS frame
+        (one frame stale — at tracking frame rates the covisible set barely
+        moves). Removes two host↔device synchronizations per frame, which
+        dominate latency on remote-attached TPUs.
+        """
+        res_m, kp_row_m, kp_mp_valid_m = self._motion_step_impl(
+            R0, t0, R_init, t_init, pt_pos, pt_oct, pt_valid, pt_desc,
+            kp_uv, kp_oct, kp_ur, kp_valid, kp_desc, radius,
+        )
+        kp_mp_pos = jnp.where(
+            (kp_row_m >= 0)[:, None], pt_pos[jnp.maximum(kp_row_m, 0)], 0.0
+        )
+        kp_mp_valid = kp_mp_valid_m & res_m.inliers
+        loc_already = jnp.zeros(loc_pos.shape[0], bool)
+        res_l, kp_row_l, new_valid, n_vis = self._local_step_impl(
+            res_m.R, res_m.t,
+            loc_pos, loc_normal, loc_mind, loc_maxd, loc_desc, loc_valid,
+            loc_already,
+            kp_uv, kp_oct, kp_ur, kp_valid, kp_desc,
+            kp_mp_pos, kp_mp_valid, extra_radius, rng_key,
+        )
+        return (res_m, kp_row_m, res_l, kp_row_l, n_vis)
 
     def _local_step_impl(
         self, R0, t0,
@@ -271,16 +303,24 @@ class Tracker:
             return st
 
         ok = False
+        used_fused = False
         if self.state == TrackState.OK:
-            if self.velocity is not None:
+            if self.velocity is not None and self._cached_pool is not None:
+                ok = self._track_fused(frame, st)
+                used_fused = ok
+            if not ok and self.velocity is not None:
                 ok = self._track_with_motion_model(frame, st)
-            if not ok:
+                if not ok:
+                    ok = self._track_reference_kf(frame, st)
+            elif not ok:
                 ok = self._track_reference_kf(frame, st)
         else:  # LOST
             ok = self._relocalize(frame, st)
 
-        if ok:
+        if ok and not used_fused:
             ok = self._track_local_map(frame, st)
+        if ok:
+            self._refresh_cached_pool(frame)
 
         if ok:
             self.state = TrackState.OK
@@ -355,6 +395,93 @@ class Tracker:
         frame.R = R_h
         frame.t = t_h
         return int(n_inl) >= 15
+
+    def _refresh_cached_pool(self, frame: Frame):
+        """Build next frame's local-map candidate pool from this frame's
+        matches and push it to the device asynchronously (the fused tracking
+        step consumes it — one frame stale by design)."""
+        s = self.store
+        pts = self._gather_local_map(frame)
+        if pts is None or pts.size == 0:
+            self._cached_pool = None
+            return
+        L = self.cfg.capacity.max_local_points
+        n_loc = min(pts.size, L)
+        pts = pts[:n_loc]
+        pad = L - n_loc
+        loc = (
+            np.concatenate([s.point_pos[pts], np.zeros((pad, 3), np.float32)]),
+            np.concatenate([s.point_normal[pts], np.zeros((pad, 3), np.float32)]),
+            np.concatenate([s.point_min_dist[pts], np.zeros(pad, np.float32)]),
+            np.concatenate([s.point_max_dist[pts], np.ones(pad, np.float32)]),
+            np.concatenate([s.point_desc[pts], np.zeros((pad, 8), np.uint32)]),
+            np.concatenate([np.ones(n_loc, bool), np.zeros(pad, bool)]),
+        )
+        self._cached_pool = (pts, jax.device_put(loc))
+
+    def _track_fused(self, frame: Frame, st: TrackStats) -> bool:
+        """One-synchronization tracking: motion + local map in one device
+        program against the cached (previous-frame) candidate pool."""
+        lf = self.last_frame
+        s = self.store
+        pool_ids, loc_dev = self._cached_pool
+        ids = s.resolve_replaced(lf.mp_ids)
+        rows = ids >= 0
+        pt_pos = np.zeros((self.n_kp, 3), np.float32)
+        pt_desc = np.zeros((self.n_kp, 8), np.uint32)
+        pt_pos[rows] = s.point_pos[ids[rows]]
+        pt_desc[rows] = s.point_desc[ids[rows]]
+        R0, t0 = self._predict_pose()
+        radius = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
+        kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = self._frame_dev(frame)
+        dev_in = jax.device_put(
+            (R0, t0, lf.R, lf.t, pt_pos, lf.octave.astype(np.int32), rows, pt_desc)
+        )
+        extra_r = 1.0
+        out = self._jit_fused(
+            *dev_in, *loc_dev,
+            kp_uv, kp_oct, kp_ur, kp_val, kp_desc,
+            jnp.float32(radius), jnp.float32(extra_r),
+            jax.random.PRNGKey(frame.frame_id),
+        )
+        res_m, kp_row_m, res_l, kp_row_l, n_vis = out
+        (kp_row_m, m_inl, kp_row_l, l_inl, R_h, t_h, n_inl_d) = jax.device_get(
+            (kp_row_m, res_m.inliers, kp_row_l, res_l.inliers,
+             res_l.R, res_l.t, res_l.n_inliers)
+        )
+        st.n_motion_matches = int((kp_row_m >= 0).sum())
+        # combine associations: motion first, then local fills the rest
+        mp = np.where(kp_row_m >= 0, ids[np.maximum(kp_row_m, 0)], -1).astype(np.int32)
+        mp[~m_inl] = -1
+        L = self.cfg.capacity.max_local_points
+        pool_pad = np.full(L, -1, np.int64)
+        pool_pad[: pool_ids.size] = pool_ids
+        loc_assign = np.where(kp_row_l >= 0, pool_pad[np.maximum(kp_row_l, 0)], -1)
+        fill = (mp < 0) & (loc_assign >= 0)
+        # drop duplicate map ids already claimed via the motion step
+        claimed = set(mp[mp >= 0].tolist())
+        for j in np.nonzero(fill)[0]:
+            if loc_assign[j] in claimed:
+                fill[j] = False
+        mp[fill] = loc_assign[fill]
+        frame.mp_ids = mp
+        frame.is_outlier = (frame.mp_ids >= 0) & ~l_inl
+        frame.mp_ids[frame.is_outlier] = -1
+        frame.R = R_h
+        frame.t = t_h
+        st.n_local_points = int(pool_ids.size)
+        st.n_local_matches = int((kp_row_l >= 0).sum())
+        tracked = frame.mp_ids[frame.mp_ids >= 0]
+        s.point_found[tracked] += 1
+        s.point_visible[pool_ids] += 1
+        n_inl = int(n_inl_d)
+        recently_reloc = (
+            frame.frame_id - self._last_reloc_frame
+            < self.cfg.tracking.max_frames_between_kf
+        )
+        thr = (self.cfg.tracking.min_inliers_after_reloc if recently_reloc
+               else self.cfg.tracking.min_inliers_local_map)
+        return n_inl >= thr
 
     def _gather_local_map(self, frame: Frame):
         """Local map = KFs sharing points with the frame (K1) + their best
