@@ -238,7 +238,14 @@ class System:
 
         imgs = jax.device_put((im_left, im_right))  # one H2D round-trip
         out = self._get_frontend("stereo")(*imgs)
-        return self._make_frame(out, ts)
+        # overlap: dispatch the fused tracking step on the DEVICE outputs
+        # before fetching anything to the host — the whole frame then needs a
+        # single blocking device_get (in the tracker).
+        frame_dev = (out[0], out[1], out[6], out[5], out[3], out[2])
+        pre = self.tracker.fused_dispatch(frame_dev, self.frame_id)
+        f = self._make_frame(out, ts)
+        f._predispatched = pre
+        return f
 
     def _build_rgbd_frame(self, im, depth_map, ts) -> Frame:
         out = self._get_frontend("rgbd")(jnp.asarray(im), jnp.asarray(depth_map))

@@ -30,6 +30,7 @@ class Frame:
     mp_ids: np.ndarray = None  # [N] i32 map point per keypoint (-1)
     is_outlier: np.ndarray = None  # [N] bool (pose-opt gating)
     _dev: tuple = None  # device-array cache (tracker._frame_dev)
+    _predispatched: tuple = None  # async fused-track handles (System fast path)
 
     def __post_init__(self):
         n = self.uv.shape[0]

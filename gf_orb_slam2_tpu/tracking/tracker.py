@@ -306,7 +306,7 @@ class Tracker:
         used_fused = False
         if self.state == TrackState.OK:
             if self.velocity is not None and self._cached_pool is not None:
-                ok = self._track_fused(frame, st)
+                ok = self._track_fused(frame, st, predispatched=getattr(frame, "_predispatched", None))
                 used_fused = ok
             if not ok and self.velocity is not None:
                 ok = self._track_with_motion_model(frame, st)
@@ -419,9 +419,14 @@ class Tracker:
         )
         self._cached_pool = (pts, jax.device_put(loc))
 
-    def _track_fused(self, frame: Frame, st: TrackStats) -> bool:
-        """One-synchronization tracking: motion + local map in one device
-        program against the cached (previous-frame) candidate pool."""
+    def fused_dispatch(self, frame_dev, frame_id: int):
+        """Dispatch the fused motion+local step using DEVICE keypoint arrays
+        only (no host materialization of the current frame needed) — lets the
+        caller overlap the frontend fetch with tracking compute. Returns the
+        async output handles, or None when fusing isn't possible."""
+        if (self.state != TrackState.OK or self.velocity is None
+                or self._cached_pool is None or self.last_frame is None):
+            return None
         lf = self.last_frame
         s = self.store
         pool_ids, loc_dev = self._cached_pool
@@ -433,17 +438,29 @@ class Tracker:
         pt_desc[rows] = s.point_desc[ids[rows]]
         R0, t0 = self._predict_pose()
         radius = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
-        kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = self._frame_dev(frame)
+        kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = frame_dev
         dev_in = jax.device_put(
             (R0, t0, lf.R, lf.t, pt_pos, lf.octave.astype(np.int32), rows, pt_desc)
         )
-        extra_r = 1.0
         out = self._jit_fused(
             *dev_in, *loc_dev,
             kp_uv, kp_oct, kp_ur, kp_val, kp_desc,
-            jnp.float32(radius), jnp.float32(extra_r),
-            jax.random.PRNGKey(frame.frame_id),
+            jnp.float32(radius), jnp.float32(1.0),
+            jax.random.PRNGKey(frame_id),
         )
+        return (out, ids, pool_ids)
+
+    def _track_fused(self, frame: Frame, st: TrackStats,
+                     predispatched=None) -> bool:
+        """One-synchronization tracking: motion + local map in one device
+        program against the cached (previous-frame) candidate pool."""
+        s = self.store
+        if predispatched is None:
+            kp_dev = self._frame_dev(frame)
+            predispatched = self.fused_dispatch(kp_dev, frame.frame_id)
+            if predispatched is None:
+                return False
+        out, ids, pool_ids = predispatched
         res_m, kp_row_m, res_l, kp_row_l, n_vis = out
         (kp_row_m, m_inl, kp_row_l, l_inl, R_h, t_h, n_inl_d) = jax.device_get(
             (kp_row_m, res_m.inliers, kp_row_l, res_l.inliers,
