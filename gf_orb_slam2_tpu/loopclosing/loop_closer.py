@@ -149,9 +149,51 @@ class LoopCloser:
                 n_o = int(jnp.sum(inl_o))
                 if n_o < self.cfg.loop.min_sim3_inliers:
                     continue
+                # guided cross-projection verification over ALL mapped
+                # keypoints of both KFs (reference: SearchBySim3 + the ≥40
+                # total-matches gate, LoopClosing.cc:404-422)
+                n_total = self._guided_match_count(kf, c, s_o, R_o, t_o)
+                if n_total < self.cfg.loop.min_total_matches:
+                    continue
                 # Sim3 maps kf-camera coords → candidate-camera coords
                 return (c, float(s_o), np.asarray(R_o), np.asarray(t_o), n_o)
         return None
+
+    def _guided_match_count(self, kf: int, c: int, s12, R12, t12) -> int:
+        """Count map-point matches under the Sim3 via two-way guided
+        projection (reference: ORBmatcher::SearchBySim3 ORBmatcher.cc:406)."""
+        s = self.store
+        cam = self.cfg.camera
+
+        def kf_points(k):
+            slots = s.kf_point[k]
+            valid = (slots >= 0) & s.kf_kp_valid[k]
+            ids = np.maximum(slots, 0)
+            pw = s.point_pos[ids]
+            pc = pw @ s.kf_R[k].T + s.kf_t[k]
+            valid = valid & s.point_valid[ids]
+            return pc.astype(np.float32), s.kf_desc[k], valid
+
+        pc1, d1, v1 = kf_points(kf)
+        pc2, d2, v2 = kf_points(c)
+
+        def cam_project(p):
+            z = jnp.maximum(p[..., 2], 1e-6)
+            return (
+                jnp.stack(
+                    [cam.fx * p[..., 0] / z + cam.cx, cam.fy * p[..., 1] / z + cam.cy],
+                    -1,
+                ),
+                p[..., 2],
+            )
+
+        m = matcher.search_by_sim3(
+            jnp.asarray(np.float32(s12)), jnp.asarray(R12), jnp.asarray(t12),
+            jnp.asarray(pc1), jnp.asarray(pc2),
+            jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v1), jnp.asarray(v2),
+            cam_project,
+        )
+        return int(np.asarray(m.valid).sum())
 
     # ----------------------------------------------------- loop correction
     def _correct_loop(self, kf: int, loop_kf: int, s12, R12, t12, st: LoopStats):

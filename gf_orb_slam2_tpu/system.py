@@ -167,8 +167,14 @@ class System:
                 p(f.valid, False))
 
     def _frontend_stereo_impl(self, im_left, im_right):
-        fl = self.extractor._extract(im_left)
-        fr = self.extractor._extract(im_right)
+        import jax
+
+        # one vmapped extraction for BOTH images: same kernel count as a
+        # single image, twice the data per kernel (fixed per-kernel overheads
+        # dominate on remote-attached TPUs)
+        f2 = jax.vmap(self.extractor._extract)(jnp.stack([im_left, im_right]))
+        fl = jax.tree_util.tree_map(lambda a: a[0], f2)
+        fr = jax.tree_util.tree_map(lambda a: a[1], f2)
         uv_l, oct_l, ang_l, desc_l, resp_l, val_l = self._pad_feats(fl)
         uv_r, oct_r, ang_r, desc_r, resp_r, val_r = self._pad_feats(fr)
         if self._rectify_left is not None:
