@@ -48,10 +48,12 @@ class LoopCloser:
         self.last_loop_kf: int = -1
         self.fix_scale = cfg.sensor != Sensor.MONOCULAR
         self._match_jit = None
+        self.stats: List[LoopStats] = []
 
     # ------------------------------------------------------------- pipeline
     def process_keyframe(self, kf: int) -> LoopStats:
         st = LoopStats(kf=kf)
+        self.stats.append(st)
         cands = self._detect_loop(kf, st)
         self.kfdb.add(kf)
         if not cands:

@@ -376,6 +376,15 @@ class System:
             for st in self.tracker.stats:
                 f.write(json.dumps(st.__dict__) + "\n")
 
+    def save_loop_log(self, path):
+        """Per-KF loop-closing log (detection/sim3/correction stats)."""
+        import json
+
+        with open(path, "w") as f:
+            if self.loop_closer is not None:
+                for st in self.loop_closer.stats:
+                    f.write(json.dumps(st.__dict__) + "\n")
+
     def save_mapping_log(self, path):
         """Reference: System::SaveMappingLog (System.cc:542) — per-KF BA
         stage log (MappingLog Util.hpp:282)."""
