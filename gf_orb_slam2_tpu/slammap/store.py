@@ -118,7 +118,14 @@ class MapStore:
     ) -> int:
         k = self.n_keyframes
         if k >= self.cap.max_keyframes:
-            raise RuntimeError("keyframe capacity exceeded")
+            # reuse the oldest culled slot if any, else refuse gracefully
+            free = np.nonzero(~self.kf_valid[: self.n_keyframes])[0]
+            if free.size == 0:
+                raise RuntimeError(
+                    "keyframe capacity exceeded — raise CapacityConfig.max_keyframes"
+                )
+            k = int(free[0])
+            self.n_keyframes -= 1  # will be re-incremented below
         self.kf_R[k] = R
         self.kf_t[k] = t
         self.kf_uv[k] = uv
@@ -172,7 +179,14 @@ class MapStore:
             p += 1
         p = p % P
         if self.point_valid[p]:
-            raise RuntimeError("map point capacity exceeded")
+            # capacity pressure: cull the globally worst-tracked point and
+            # reuse its slot (the reference grows unbounded and relies on
+            # culling; fixed-capacity stores must reclaim here)
+            live = self.valid_point_ids()
+            ratios = self.found_ratio(live)
+            victim = int(live[np.argmin(ratios)])
+            self.erase_point(victim)
+            p = victim
         self.next_point = p + 1
         self.point_pos[p] = pos
         self.point_desc[p] = desc

@@ -226,18 +226,9 @@ class System:
         return self._frontends[kind]
 
     def _make_frame(self, dev_out, ts) -> Frame:
-        import jax
-
-        uv, octv, ang, desc, resp, valid, ur, dep = jax.device_get(dev_out)
-        f = Frame(
-            frame_id=self.frame_id, timestamp=ts,
-            uv=uv, octave=octv, angle=ang, desc=desc, response=resp,
-            u_right=ur, depth=dep, valid=valid,
-        )
-        # seed the tracker-side device cache with the already-on-device arrays
-        f._dev = (dev_out[0], dev_out[1], dev_out[6], dev_out[5], dev_out[3],
-                  dev_out[2])
-        return f
+        dev_sub = (dev_out[0], dev_out[1], dev_out[6], dev_out[5], dev_out[3],
+                   dev_out[2])
+        return Frame.deferred(self.frame_id, ts, dev_out, dev_sub)
 
     def _build_stereo_frame(self, im_left, im_right, ts) -> Frame:
         import jax
@@ -252,6 +243,9 @@ class System:
         f = self._make_frame(out, ts)
         f._predispatched = pre
         return f
+
+    # NOTE: frames are DEFERRED — host arrays are fetched inside the tracker
+    # (batched with the tracking results: one blocking sync per frame).
 
     def _build_rgbd_frame(self, im, depth_map, ts) -> Frame:
         out = self._get_frontend("rgbd")(jnp.asarray(im), jnp.asarray(depth_map))

@@ -31,17 +31,46 @@ class Frame:
     is_outlier: np.ndarray = None  # [N] bool (pose-opt gating)
     _dev: tuple = None  # device-array cache (tracker._frame_dev)
     _predispatched: tuple = None  # async fused-track handles (System fast path)
+    _dev_out: tuple = None  # full frontend device outputs (deferred fetch)
 
     def __post_init__(self):
-        n = self.uv.shape[0]
         if self.R is None:
             self.R = np.eye(3, dtype=np.float32)
         if self.t is None:
             self.t = np.zeros(3, np.float32)
+        if self.uv is not None:
+            self._init_assoc()
+
+    def _init_assoc(self):
+        n = self.uv.shape[0]
         if self.mp_ids is None:
             self.mp_ids = np.full(n, -1, np.int32)
         if self.is_outlier is None:
             self.is_outlier = np.zeros(n, bool)
+
+    @staticmethod
+    def deferred(frame_id, timestamp, dev_out, dev_sub) -> "Frame":
+        """Frame whose host arrays are fetched lazily — the tracker batches
+        the fetch with its own result transfer (one device sync per frame)."""
+        f = Frame(frame_id=frame_id, timestamp=timestamp, uv=None, octave=None,
+                  angle=None, desc=None, response=None, u_right=None,
+                  depth=None, valid=None)
+        f._dev_out = dev_out
+        f._dev = dev_sub
+        return f
+
+    def fill_host(self, vals):
+        """Install fetched (uv, octave, angle, desc, response, valid,
+        u_right, depth) host arrays."""
+        (self.uv, self.octave, self.angle, self.desc, self.response,
+         self.valid, self.u_right, self.depth) = vals
+        self._init_assoc()
+
+    def ensure_host(self):
+        if self.uv is None and self._dev_out is not None:
+            import jax
+
+            self.fill_host(jax.device_get(self._dev_out))
 
     @property
     def n_kp(self) -> int:

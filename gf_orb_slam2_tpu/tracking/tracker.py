@@ -287,7 +287,14 @@ class Tracker:
         return frame._dev
 
     def process_frame(self, frame: Frame) -> TrackStats:
-        st = TrackStats(frame_id=frame.frame_id, n_features=frame.n_kp)
+        fusable = (
+            self.state == TrackState.OK and self.velocity is not None
+            and self._cached_pool is not None
+            and getattr(frame, "_predispatched", None) is not None
+        )
+        if not fusable:
+            frame.ensure_host()
+        st = TrackStats(frame_id=frame.frame_id)
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self.state = TrackState.NOT_INITIALIZED
             if self.cfg.sensor in (Sensor.STEREO, Sensor.RGBD):
@@ -299,6 +306,7 @@ class Tracker:
                     self.state = TrackState.OK
                     st.created_kf = True
             st.state = self.state.name
+            st.n_features = frame.n_kp
             self._finish_frame(frame, st)
             return st
 
@@ -308,6 +316,8 @@ class Tracker:
             if self.velocity is not None and self._cached_pool is not None:
                 ok = self._track_fused(frame, st, predispatched=getattr(frame, "_predispatched", None))
                 used_fused = ok
+                if not ok:
+                    frame.ensure_host()
             if not ok and self.velocity is not None:
                 ok = self._track_with_motion_model(frame, st)
                 if not ok:
@@ -335,6 +345,7 @@ class Tracker:
             self.n_lost += 1
             self.velocity = None
         st.state = self.state.name
+        st.n_features = frame.n_kp
         st.n_inliers = frame.n_matched
         self._finish_frame(frame, st)
         return st
@@ -462,10 +473,21 @@ class Tracker:
                 return False
         out, ids, pool_ids = predispatched
         res_m, kp_row_m, res_l, kp_row_l, n_vis = out
-        (kp_row_m, m_inl, kp_row_l, l_inl, R_h, t_h, n_inl_d) = jax.device_get(
-            (kp_row_m, res_m.inliers, kp_row_l, res_l.inliers,
-             res_l.R, res_l.t, res_l.n_inliers)
-        )
+        if frame.uv is None:
+            # ONE blocking sync: frame host arrays + tracking results together
+            frame_vals, (kp_row_m, m_inl, kp_row_l, l_inl, R_h, t_h, n_inl_d) = (
+                jax.device_get(
+                    (frame._dev_out,
+                     (kp_row_m, res_m.inliers, kp_row_l, res_l.inliers,
+                      res_l.R, res_l.t, res_l.n_inliers))
+                )
+            )
+            frame.fill_host(frame_vals)
+        else:
+            (kp_row_m, m_inl, kp_row_l, l_inl, R_h, t_h, n_inl_d) = jax.device_get(
+                (kp_row_m, res_m.inliers, kp_row_l, res_l.inliers,
+                 res_l.R, res_l.t, res_l.n_inliers)
+            )
         st.n_motion_matches = int((kp_row_m >= 0).sum())
         # combine associations: motion first, then local fills the rest
         mp = np.where(kp_row_m >= 0, ids[np.maximum(kp_row_m, 0)], -1).astype(np.int32)
