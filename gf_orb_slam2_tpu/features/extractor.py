@@ -117,8 +117,6 @@ class ORBExtractor:
         quota = jnp.asarray(self.counts, jnp.int32)[:, None] > jnp.arange(N_CAP)[None, :]
         valid_l = valid_l & quota
 
-        yx = jnp.stack([ys_l, xs_l], -1).astype(jnp.float32)  # [L, N_CAP, 2]
-        ang, desc = orb.angles_and_descriptors(stack, yx)
         scales = jnp.asarray(self.scales, jnp.float32)[:, None]
         uv = jnp.stack(
             [xs_l.astype(jnp.float32) * scales, ys_l.astype(jnp.float32) * scales], -1
@@ -128,17 +126,21 @@ class ORBExtractor:
         )
         resp = jnp.where(valid_l, sc_l, 0.0)
 
-        # flatten and keep exactly n_total slots, valid-first, stable order
+        # flatten and keep exactly n_total slots (valid-first, stable order)
+        # BEFORE the descriptor patch gather — only selected keypoints pay
         flat = lambda a: a.reshape((L * N_CAP,) + a.shape[2:])
         validf = flat(valid_l)
         prio = validf.astype(jnp.float32) * 1e9 - jnp.arange(L * N_CAP, dtype=jnp.float32)
         _, sel = jax.lax.top_k(prio, self.n_total)
+        li = flat(octv)[sel]
+        yx_sel = jnp.stack([flat(ys_l)[sel], flat(xs_l)[sel]], -1).astype(jnp.float32)
+        ang, desc = orb.angles_and_descriptors_flat(stack, li, yx_sel)
         return Features(
             uv=flat(uv)[sel],
             response=flat(resp)[sel],
-            octave=flat(octv)[sel],
-            angle=flat(ang)[sel],
-            desc=flat(desc)[sel],
+            octave=li,
+            angle=ang,
+            desc=desc,
             valid=validf[sel],
         )
 

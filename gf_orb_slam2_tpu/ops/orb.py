@@ -209,6 +209,49 @@ def _blur_patch(patch, ksize=7, sigma=2.0):
     return out  # [..., 31, 31]
 
 
+def patches_at_flat(stack, li, yx):
+    """Gather [n,37,37] raw patches for keypoints with per-item level li."""
+    h, w = stack.shape[-2:]
+    d = jnp.arange(-PATCH_R, PATCH_R + 1)
+    y = jnp.clip(yx[:, 0:1].astype(jnp.int32) + d[None, :], 0, h - 1)  # [n,37]
+    x = jnp.clip(yx[:, 1:2].astype(jnp.int32) + d[None, :], 0, w - 1)
+    return stack[li[:, None, None], y[:, :, None], x[:, None, :]]  # [n,37,37]
+
+
+def angles_and_descriptors_flat(stack, li, yx):
+    """Fused IC-angle + rBRIEF for a FLAT selected keypoint set.
+
+    stack: [L,H,W] pyramid; li: [n] level index; yx: [n,2] (row, col) in
+    level coords. Gathering only the selected keypoints (post top-N) costs
+    ~2x less than gathering every per-level candidate slot.
+    Returns (angles [n], desc uint32 [n,8]).
+    """
+    patch = patches_at_flat(stack, li, yx)  # [n,37,37]
+    center31 = patch[..., 3:34, 3:34]
+    kx, ky = _ic_kernels()
+    m10 = jnp.einsum("nab,ab->n", center31, jnp.asarray(kx))
+    m01 = jnp.einsum("nab,ab->n", center31, jnp.asarray(ky))
+    angles = jnp.arctan2(m01, m10)
+
+    blurred = _blur_patch(patch)  # [n,31,31]
+    pat = jnp.asarray(brief_pattern())
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    dy = pat[None, :, :, 0]
+    dx = pat[None, :, :, 1]
+    ry = dx * s[:, None, None] + dy * c[:, None, None]
+    rx = dx * c[:, None, None] - dy * s[:, None, None]
+    py = jnp.clip(jnp.round(15.0 + ry).astype(jnp.int32), 0, 30)  # [n,256,2]
+    px = jnp.clip(jnp.round(15.0 + rx).astype(jnp.int32), 0, 30)
+    n = angles.shape[0]
+    ni = jnp.arange(n)[:, None, None]
+    vals = blurred[ni, py, px]  # [n,256,2]
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)
+    bits = bits.reshape(n, 8, 32)
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    desc = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+    return angles, desc
+
+
 def angles_and_descriptors(stack, yx):
     """Fused IC-angle + rBRIEF from ONE patch gather.
 
