@@ -94,11 +94,13 @@ class ORBExtractor:
         L = cfg.n_levels
         H0, W0 = self.sizes[0]
 
-        # pyramid: sequential resize chain (small), padded into one stack
+        # pyramid: every level resized directly from level-0 — independent
+        # ops the scheduler can overlap (the reference's chained resize
+        # serializes; direct resize also avoids compounding interpolation)
         level_imgs = [img]
         for lv in range(1, L):
             h, w = self.sizes[lv]
-            level_imgs.append(jax.image.resize(level_imgs[-1], (h, w), "linear"))
+            level_imgs.append(jax.image.resize(img, (h, w), "linear"))
         stack = jnp.stack([
             jnp.pad(li, ((0, H0 - li.shape[0]), (0, W0 - li.shape[1])))
             for li in level_imgs
