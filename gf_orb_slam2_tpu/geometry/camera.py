@@ -9,11 +9,11 @@ scheme (no data-dependent loops under jit).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from gf_orb_slam2_tpu.utils.precision import einsum, matmul
+from gf_orb_slam2_tpu.utils.precision import einsum
 import numpy as np
 
 

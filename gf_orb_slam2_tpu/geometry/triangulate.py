@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from gf_orb_slam2_tpu.utils.precision import einsum, matmul
+from gf_orb_slam2_tpu.utils.precision import einsum
 
 from gf_orb_slam2_tpu.geometry import lie
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

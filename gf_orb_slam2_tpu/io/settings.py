@@ -10,8 +10,6 @@ were compile-time macros in the reference (SURVEY.md §5 config matrix).
 """
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 import yaml
 

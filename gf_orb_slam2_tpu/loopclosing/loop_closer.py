@@ -12,7 +12,7 @@ device programs for matching/Sim3/pose-graph (SURVEY.md §2.3 P1).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, List, Set, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ Stage → reference mapping:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

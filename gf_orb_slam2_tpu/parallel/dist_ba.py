@@ -17,9 +17,6 @@ Built with shard_map over a Mesh; the same code runs on a virtual CPU mesh
 """
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -11,7 +11,7 @@ covisibility-group accumulation logic is kept (host-side, tiny).
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -14,7 +14,7 @@ tests — the reference compares against MATLAB constants instead).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
