@@ -100,9 +100,13 @@ def _sad_curve(img_l, img_r, uv_l, uv_r):
     W = SAD_HALF
 
     def patch(img, yc, xc, half_w):
+        # row gather + column one-hot contraction (direct element gathers
+        # lower to scalar loops on TPU; see ops/orb.py patches_at_flat)
         ys = jnp.clip(yc[:, None] + jnp.arange(-W, W + 1)[None, :], 0, h - 1)
         xs = jnp.clip(xc[:, None] + jnp.arange(-half_w, half_w + 1)[None, :], 0, w - 1)
-        return img[ys[:, :, None], xs[:, None, :]]  # [N, 11, 2*half_w+1]
+        rows = img[ys]  # [N, 11, W_img]
+        onehot = jax.nn.one_hot(xs, w, dtype=img.dtype)  # [N, 2*half_w+1, W_img]
+        return jnp.einsum("nrw,nsw->nrs", rows, onehot)  # [N, 11, 2*half_w+1]
 
     yl = jnp.round(uv_l[:, 1]).astype(jnp.int32)
     xl = jnp.round(uv_l[:, 0]).astype(jnp.int32)

@@ -173,23 +173,12 @@ def brief_descriptors_batched(imgs_blur, yx, angles):
 
 
 # ---------------------------------------------------------------------------
-# Patch-based fused path: one [L,N,37,37] gather feeds IC-angle moments,
-# per-patch separable blur, and rBRIEF sampling. Full-image 31x31 moment
-# convolutions and pyramid-wide blurs are pathologically slow on backends
-# where channels-1 convs can't use the MXU; the patch formulation is pure
-# gather + fused elementwise/einsum work.
+# Patch-based fused path: one [n,37,37] patch extraction feeds IC-angle
+# moments and rBRIEF sampling. Full-image 31x31 moment convolutions and
+# pyramid-wide blurs are pathologically slow on backends where channels-1
+# convs can't use the MXU; the patch formulation is gather + einsum work.
 PATCH_R = 18  # 37x37 raw patch: 15 (moments) + blur margin 3
-
-
-def patches_at(stack, yx):
-    """Gather [L,N,37,37] raw patches centered at yx (row, col)."""
-    L, N = yx.shape[:2]
-    h, w = stack.shape[-2:]
-    d = jnp.arange(-PATCH_R, PATCH_R + 1)
-    y = jnp.clip(yx[..., 0:1].astype(jnp.int32) + d[None, None, :], 0, h - 1)
-    x = jnp.clip(yx[..., 1:2].astype(jnp.int32) + d[None, None, :], 0, w - 1)
-    li = jnp.arange(L)[:, None, None, None]
-    return stack[li, y[..., :, None], x[..., None, :]]  # [L,N,37,37]
+N_ANGLE_BINS = 32  # rotation quantization for the descriptor lookup table
 
 
 def _blur_patch(patch, ksize=7, sigma=2.0):
@@ -210,12 +199,51 @@ def _blur_patch(patch, ksize=7, sigma=2.0):
 
 
 def patches_at_flat(stack, li, yx):
-    """Gather [n,37,37] raw patches for keypoints with per-item level li."""
+    """Extract [n,37,37] raw patches for keypoints with per-item level li.
+
+    Formulated as a row gather followed by a column one-hot contraction:
+    a direct [n,37,37] element gather lowers to scalar-gather loops on TPU
+    (measured 14.8 ms for n=800 on v5e vs 1.8 ms for this form — the row
+    gather moves whole [37,W] slabs and the column pick rides the MXU).
+    """
     h, w = stack.shape[-2:]
     d = jnp.arange(-PATCH_R, PATCH_R + 1)
     y = jnp.clip(yx[:, 0:1].astype(jnp.int32) + d[None, :], 0, h - 1)  # [n,37]
     x = jnp.clip(yx[:, 1:2].astype(jnp.int32) + d[None, :], 0, w - 1)
-    return stack[li[:, None, None], y[:, :, None], x[:, None, :]]  # [n,37,37]
+    rows = stack[li[:, None], y]  # [n,37,W]
+    onehot = jax.nn.one_hot(x, w, dtype=stack.dtype)  # [n,37,W]
+    return jnp.einsum("nrw,nsw->nrs", rows, onehot)  # [n,37,37]
+
+
+@functools.lru_cache()
+def _sample_matrix(n_bins=N_ANGLE_BINS):
+    """Descriptor sampling matrix S [37*37, n_bins*512] (numpy f32).
+
+    Folds the 7x7 Gaussian blur AND the rotated-pattern nearest-neighbor
+    sampling into one linear map: raw 37x37 patch → blurred intensity at
+    every rBRIEF sample point for every quantized rotation. The descriptor
+    read then becomes a single [n,1369]x[1369,n_bins*512] matmul (MXU) plus
+    a per-keypoint bin select — no data-dependent gathers. The ORB paper
+    itself quantizes orientation into 12° steps with a pattern lookup table;
+    n_bins=32 (11.25°) matches that design.
+    """
+    pat = brief_pattern()  # [256,2,2]
+    g = _gauss_kernel()
+    G = np.outer(g, g)  # [7,7] separable blur taps
+    th = 2 * np.pi * np.arange(n_bins) / n_bins
+    c, s = np.cos(th)[:, None], np.sin(th)[:, None]
+    dy = pat[:, :, 0].reshape(-1)[None]  # [1,512]
+    dx = pat[:, :, 1].reshape(-1)[None]
+    # blurred-image sample coords per bin (blurred (a,b) ≡ raw (a+3, b+3))
+    py = np.clip(np.round(15.0 + dx * s + dy * c), 0, 30).astype(np.int64)
+    px = np.clip(np.round(15.0 + dx * c - dy * s), 0, 30).astype(np.int64)
+    S = np.zeros((37 * 37, n_bins * 512), np.float32)
+    col = (np.arange(n_bins)[:, None] * 512 + np.arange(512)[None]).reshape(-1)
+    for u in range(7):
+        for v in range(7):
+            row = ((py + u) * 37 + (px + v)).reshape(-1)
+            np.add.at(S, (row, col), G[u, v])
+    return S
 
 
 def angles_and_descriptors_flat(stack, li, yx):
@@ -233,53 +261,22 @@ def angles_and_descriptors_flat(stack, li, yx):
     m01 = jnp.einsum("nab,ab->n", center31, jnp.asarray(ky))
     angles = jnp.arctan2(m01, m10)
 
-    blurred = _blur_patch(patch)  # [n,31,31]
-    pat = jnp.asarray(brief_pattern())
-    c, s = jnp.cos(angles), jnp.sin(angles)
-    dy = pat[None, :, :, 0]
-    dx = pat[None, :, :, 1]
-    ry = dx * s[:, None, None] + dy * c[:, None, None]
-    rx = dx * c[:, None, None] - dy * s[:, None, None]
-    py = jnp.clip(jnp.round(15.0 + ry).astype(jnp.int32), 0, 30)  # [n,256,2]
-    px = jnp.clip(jnp.round(15.0 + rx).astype(jnp.int32), 0, 30)
+    # blur + rotated sampling as ONE matmul against the lookup matrix
+    # (bf16 operands: ≤1 gray-level rounding on 0..255 data, deterministic,
+    # and the binary compare below is robust to it; halves the matrix bytes)
     n = angles.shape[0]
-    ni = jnp.arange(n)[:, None, None]
-    vals = blurred[ni, py, px]  # [n,256,2]
+    S = jnp.asarray(_sample_matrix(), jnp.bfloat16)
+    vals_all = jnp.dot(
+        patch.reshape(n, 37 * 37).astype(jnp.bfloat16), S,
+        preferred_element_type=jnp.float32,
+    )  # [n, A*512]
+    A = N_ANGLE_BINS
+    bins = jnp.mod(jnp.round(angles / (2 * jnp.pi / A)).astype(jnp.int32), A)
+    onehot = jax.nn.one_hot(bins, A, dtype=jnp.float32)
+    vals = jnp.einsum("nas,na->ns", vals_all.reshape(n, A, 512), onehot)
+    vals = vals.reshape(n, 256, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)
     bits = bits.reshape(n, 8, 32)
-    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
-    desc = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
-    return angles, desc
-
-
-def angles_and_descriptors(stack, yx):
-    """Fused IC-angle + rBRIEF from ONE patch gather.
-
-    stack: [L,H,W] f32 pyramid; yx: [L,N,2] keypoint (row, col).
-    Returns (angles [L,N], desc uint32 [L,N,8]).
-    """
-    patch = patches_at(stack, yx)  # [L,N,37,37]
-    center31 = patch[..., 3:34, 3:34]
-    kx, ky = _ic_kernels()
-    m10 = jnp.einsum("lnab,ab->ln", center31, jnp.asarray(kx))
-    m01 = jnp.einsum("lnab,ab->ln", center31, jnp.asarray(ky))
-    angles = jnp.arctan2(m01, m10)
-
-    blurred = _blur_patch(patch)  # [L,N,31,31] blurred, centered at (15,15)
-    pat = jnp.asarray(brief_pattern())  # [256,2,2]
-    c, s = jnp.cos(angles), jnp.sin(angles)
-    dy = pat[None, None, :, :, 0]
-    dx = pat[None, None, :, :, 1]
-    ry = dx * s[..., None, None] + dy * c[..., None, None]
-    rx = dx * c[..., None, None] - dy * s[..., None, None]
-    py = jnp.clip(jnp.round(15.0 + ry).astype(jnp.int32), 0, 30)  # [L,N,256,2]
-    px = jnp.clip(jnp.round(15.0 + rx).astype(jnp.int32), 0, 30)
-    L, N = angles.shape
-    li = jnp.arange(L)[:, None, None, None]
-    ni = jnp.arange(N)[None, :, None, None]
-    vals = blurred[li, ni, py, px]  # [L,N,256,2]
-    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)
-    bits = bits.reshape(bits.shape[:-1] + (8, 32))
     weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
     desc = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
     return angles, desc
