@@ -32,6 +32,21 @@ class LocalMapMode(enum.Enum):
     COMBINED = 2
 
 
+class GFMatchingMode(enum.Enum):
+    """Map-matching strategy under a per-frame budget (reference macro matrix
+    include/Tracking.h:59-104: GOOD_FEATURE_MAP_MATCHING vs the
+    RANDOM/LONGLIVED/BUCKETING baselines of
+    Observability::runBaselineMapMatching src/Observability.cc:1171 and
+    Tracking::BucketingMatches/LongLivedMatches src/Tracking.cc:1666/1771,
+    plus the unbudgeted ORB_SLAM_BASELINE path)."""
+
+    GOOD_FEATURE = 0  # Max-logDet lazier greedy (IROS18/TRO20)
+    RANDOM = 1        # random subset of the candidate pool
+    LONG_LIVED = 2    # longest-tracked landmarks first
+    BUCKETING = 3     # spatially-bucketed round-robin by track length
+    ALL = 4           # no budget: match the whole pool (ORB_SLAM_BASELINE)
+
+
 @dataclasses.dataclass(frozen=True)
 class CameraConfig:
     """Camera intrinsics/extrinsics (reference YAML keys, src/Tracking.cc:64-262).
@@ -120,6 +135,12 @@ class GoodFeatureConfig:
     # (reference: Tracking.cc:271-274).
     info_mat_size: int = 7
     max_rounds: int = 200  # bounded greedy rounds (replaces wall-clock budget)
+    # Budgeted matching strategy (GOOD_FEATURE, or a baseline for ablation)
+    matching_mode: GFMatchingMode = GFMatchingMode.GOOD_FEATURE
+    # After the pose solve, match leftover (unselected) candidates to free
+    # keypoints to densify map associations (reference:
+    # Tracking::SearchAdditionalMatchesInFrame src/Tracking.cc:2119).
+    search_additional: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -106,3 +106,48 @@ def random_select(valid, n_select: int, key):
     _, idx = jax.lax.top_k(scores, n_select)
     mask = jnp.zeros(P, bool).at[idx].set(True) & valid
     return mask, idx.astype(jnp.int32)
+
+
+def long_lived_select(lifetime, valid, n_select: int):
+    """Baseline: the n longest-tracked landmarks (reference:
+    Tracking::LongLivedMatches src/Tracking.cc:1771 /
+    LONGLIVED_MAP_MATCHING). lifetime: [P] found-counter or age."""
+    P = valid.shape[0]
+    scores = jnp.where(valid, lifetime.astype(jnp.float32), -jnp.inf)
+    _, idx = jax.lax.top_k(scores, n_select)
+    mask = jnp.zeros(P, bool).at[idx].set(True) & valid
+    return mask, idx.astype(jnp.int32)
+
+
+def bucketing_select(
+    uv, lifetime, valid, n_select: int, width: float, height: float,
+    grid: int = 8,
+):
+    """Baseline: spatially-bucketed budget fill (reference:
+    Tracking::BucketingMatches src/Tracking.cc:1666 / BUCKETING_MAP_MATCHING):
+    the image is split into grid×grid buckets and every bucket contributes
+    its longest-lived candidate before any bucket contributes a second —
+    spatial uniformity under the budget.
+
+    uv: [P,2] predicted pixel positions. Fully batched: the within-bucket
+    rank is computed by one argsort (bucket-major, lifetime-descending) and
+    a segmented position count — no per-bucket loops.
+    """
+    P = valid.shape[0]
+    bx = jnp.clip((uv[:, 0] * grid / width).astype(jnp.int32), 0, grid - 1)
+    by = jnp.clip((uv[:, 1] * grid / height).astype(jnp.int32), 0, grid - 1)
+    bucket = by * grid + bx
+    life = jnp.clip(lifetime.astype(jnp.float32), 0.0, 1e5)
+    # sort bucket-major, longest-lived first within a bucket
+    skey = bucket.astype(jnp.float32) * 2e5 - life + (~valid) * 1e9
+    order = jnp.argsort(skey)
+    sb = bucket[order]
+    pos = jnp.arange(P)
+    new_grp = jnp.concatenate([jnp.ones(1, bool), sb[1:] != sb[:-1]])
+    grp_start = jax.lax.associative_scan(jnp.maximum, jnp.where(new_grp, pos, 0))
+    rank_sorted = pos - grp_start  # in-bucket rank
+    rank = jnp.zeros(P, jnp.int32).at[order].set(rank_sorted.astype(jnp.int32))
+    prio = jnp.where(valid, -rank.astype(jnp.float32) * 2e5 + life, -jnp.inf)
+    _, idx = jax.lax.top_k(prio, n_select)
+    mask = jnp.zeros(P, bool).at[idx].set(True) & valid
+    return mask, idx.astype(jnp.int32)

@@ -239,7 +239,7 @@ class System:
         # before fetching anything to the host — the whole frame then needs a
         # single blocking device_get (in the tracker).
         frame_dev = (out[0], out[1], out[6], out[5], out[3], out[2])
-        pre = self.tracker.fused_dispatch(frame_dev, self.frame_id)
+        pre = self.tracker.fused_dispatch(frame_dev, self.frame_id, ts)
         f = self._make_frame(out, ts)
         f._predispatched = pre
         return f
@@ -264,6 +264,34 @@ class System:
         """Per-frame TUM-format pose stream appended as tracking runs
         (reference: System::SetRealTimeFileStream System.cc:415)."""
         self._rt_stream = open(path, "w")
+
+    def buffer_odometry(self, timestamp: float, R, t):
+        """Push a planner-predicted world→cam pose for `timestamp`
+        (reference: System/Tracking BufferingOdom Tracking.cc:503, fed from
+        the /desired_path topic in ros_stereo.cc:171). When the buffer covers
+        the tracked timestamps, the motion-model prediction uses it instead
+        of constant velocity (PredictRelMotionFromBuffer Tracking.cc:1448)."""
+        import numpy as _np
+
+        self.tracker.odom.push(timestamp, _np.asarray(R, _np.float32),
+                               _np.asarray(t, _np.float32))
+
+    def save_lmk_log(self, path):
+        """Landmark-lifetime log (reference: System::SaveLmkLog System.cc:479,
+        LmkLog Util.hpp:384): per-landmark visible/found counters, observation
+        count, and first keyframe."""
+        import json
+
+        s = self.store
+        with open(path, "w") as f:
+            for p in s.valid_point_ids():
+                f.write(json.dumps({
+                    "id": int(p),
+                    "first_kf": int(s.point_first_kf[p]),
+                    "n_obs": int(s.point_nobs[p]),
+                    "visible": int(s.point_visible[p]),
+                    "found": int(s.point_found[p]),
+                }) + "\n")
 
     def force_reloc(self):
         """Reference: System::ForceRelocTracker (System.cc:798)."""

@@ -121,5 +121,21 @@ class OdometryBuffer:
             return None
         return self._buf[i][1], self._buf[i][2]
 
+    def relative_motion(self, t0: float, t1: float):
+        """Predicted relative camera motion T(t1)·T(t0)⁻¹ as a 4x4, or None
+        (reference: PredictRelMotionFromBuffer Tracking.cc:1448 — replaces
+        the constant-velocity prediction when planner odometry is buffered).
+        Buffered poses are world→cam."""
+        a = self.predict_at(t0)
+        b = self.predict_at(t1)
+        if a is None or b is None:
+            return None
+        Ra, ta = a
+        Rb, tb = b
+        rel = np.eye(4, dtype=np.float32)
+        rel[:3, :3] = Rb @ Ra.T
+        rel[:3, 3] = tb - rel[:3, :3] @ ta
+        return rel
+
     def clear(self):
         self._buf.clear()

@@ -102,6 +102,9 @@ class Tracker:
         self._last_reloc_frame = -10**9
         self.kfdb = None  # set by System once place recognition is up
         self.mih = None   # set by System when hashing is enabled
+        from gf_orb_slam2_tpu.tracking.kinematics import OdometryBuffer
+
+        self.odom = OdometryBuffer()  # planner-predicted motion (opt-in)
 
     # ================================================== device programs
     def _motion_step_impl(
@@ -181,7 +184,7 @@ class Tracker:
 
     def _fused_track_impl(
         self, R0, t0, R_init, t_init, pt_pos, pt_oct, pt_valid, pt_desc,
-        loc_pos, loc_normal, loc_mind, loc_maxd, loc_desc, loc_valid,
+        loc_pos, loc_normal, loc_mind, loc_maxd, loc_desc, loc_valid, loc_life,
         kp_uv, kp_oct, kp_ur, kp_valid, kp_desc, radius, extra_radius, rng_key,
     ):
         """Motion-model step + local-map step chained in ONE device program.
@@ -203,7 +206,7 @@ class Tracker:
         res_l, kp_row_l, new_valid, n_vis = self._local_step_impl(
             res_m.R, res_m.t,
             loc_pos, loc_normal, loc_mind, loc_maxd, loc_desc, loc_valid,
-            loc_already,
+            loc_life, loc_already,
             kp_uv, kp_oct, kp_ur, kp_valid, kp_desc,
             kp_mp_pos, kp_mp_valid, extra_radius, rng_key,
         )
@@ -211,10 +214,13 @@ class Tracker:
 
     def _local_step_impl(
         self, R0, t0,
-        loc_pos, loc_normal, loc_mind, loc_maxd, loc_desc, loc_valid, loc_already,
+        loc_pos, loc_normal, loc_mind, loc_maxd, loc_desc, loc_valid,
+        loc_life, loc_already,
         kp_uv, kp_oct, kp_ur, kp_valid, kp_desc,
         kp_mp_pos, kp_mp_valid, extra_radius, rng_key,
     ):
+        from gf_orb_slam2_tpu.config import GFMatchingMode
+
         fx, fy, cx, cy, bf = self._cam_scalars
         cam = self.cfg.camera
         proj = projection.project_points(
@@ -223,33 +229,46 @@ class Tracker:
             n_levels=len(self.level_scales), log_scale=self.log_scale,
         )
         pool = proj.visible & ~loc_already
+        full_pool = pool
         gf_cfg = self.cfg.good_feature
-        if gf_cfg.enabled:
-            # GOOD FEATURE branch (reference: Tracking.cc:2348-2377 →
-            # Observability::runActiveMapMatching): restrict the projection
-            # search to the Max-logDet subset when the pool is large.
+        mode = gf_cfg.matching_mode
+        if gf_cfg.enabled and mode != GFMatchingMode.ALL:
             from gf_orb_slam2_tpu.selection import good_feature, observability
 
-            R_wc = R0.T
-            q_wc = lie.rot_to_quat(R_wc)
-            center = -R_wc @ t0
-            inv2_pt = 1.0 / self._scales_dev[
-                jnp.clip(proj.pred_octave, 0, len(self.level_scales) - 1)
-            ] ** 2
-            is_stereo_sensor = self.cfg.sensor != Sensor.MONOCULAR
-            stereo_mask = jnp.full(loc_pos.shape[0], is_stereo_sensor)
-            obs_mats = observability.info_matrices(
-                q_wc, center, loc_pos, fx, fy, bf, stereo_mask, inv2_pt, pool
-            )
-            base = observability.pose_info_from_frame(
-                q_wc, center, kp_mp_pos, fx, fy, bf,
-                jnp.full(kp_mp_pos.shape[0], is_stereo_sensor),
-                jnp.ones(kp_mp_pos.shape[0], obs_mats.dtype), kp_mp_valid,
-            )
-            sel, _ = good_feature.lazier_greedy_select(
-                obs_mats, pool, gf_cfg.constr_per_frame, rng_key,
-                lazier_factor=gf_cfg.lazier_factor, base_mat=base,
-            )
+            if mode == GFMatchingMode.GOOD_FEATURE:
+                # GOOD FEATURE branch (reference: Tracking.cc:2348-2377 →
+                # Observability::runActiveMapMatching): restrict the search
+                # to the Max-logDet subset when the pool is large.
+                R_wc = R0.T
+                q_wc = lie.rot_to_quat(R_wc)
+                center = -R_wc @ t0
+                inv2_pt = 1.0 / self._scales_dev[
+                    jnp.clip(proj.pred_octave, 0, len(self.level_scales) - 1)
+                ] ** 2
+                is_stereo_sensor = self.cfg.sensor != Sensor.MONOCULAR
+                stereo_mask = jnp.full(loc_pos.shape[0], is_stereo_sensor)
+                obs_mats = observability.info_matrices(
+                    q_wc, center, loc_pos, fx, fy, bf, stereo_mask, inv2_pt, pool
+                )
+                base = observability.pose_info_from_frame(
+                    q_wc, center, kp_mp_pos, fx, fy, bf,
+                    jnp.full(kp_mp_pos.shape[0], is_stereo_sensor),
+                    jnp.ones(kp_mp_pos.shape[0], obs_mats.dtype), kp_mp_valid,
+                )
+                sel, _ = good_feature.lazier_greedy_select(
+                    obs_mats, pool, gf_cfg.constr_per_frame, rng_key,
+                    lazier_factor=gf_cfg.lazier_factor, base_mat=base,
+                )
+            elif mode == GFMatchingMode.RANDOM:
+                sel, _ = good_feature.random_select(
+                    pool, gf_cfg.constr_per_frame, rng_key)
+            elif mode == GFMatchingMode.LONG_LIVED:
+                sel, _ = good_feature.long_lived_select(
+                    loc_life, pool, gf_cfg.constr_per_frame)
+            else:  # BUCKETING
+                sel, _ = good_feature.bucketing_select(
+                    proj.uv, loc_life, pool, gf_cfg.constr_per_frame,
+                    float(cam.width), float(cam.height))
             use_sel = jnp.sum(pool.astype(jnp.int32)) >= gf_cfg.min_pool
             pool = jnp.where(use_sel, pool & sel, pool)
         radius = jnp.where(proj.view_cos > 0.998, 2.5, 4.0) * extra_radius
@@ -270,6 +289,33 @@ class Tracker:
             R0, t0, new_pos, kp_uv, jnp.where(new_valid, kp_ur, -1.0),
             inv_sigma2, new_valid, fx, fy, cx, cy, bf,
         )
+        if gf_cfg.enabled and gf_cfg.search_additional and mode != GFMatchingMode.ALL:
+            # Reference: Tracking::SearchAdditionalMatchesInFrame
+            # (src/Tracking.cc:2119) — after the pose solve, match the
+            # LEFTOVER (unselected) candidates to still-free keypoints so the
+            # map associations stay dense for the KF policy and mapping; the
+            # pose itself is not re-optimized. New matches pass a chi2 gate
+            # against the refined pose.
+            leftover = full_pool & ~pool
+            m2 = matcher.search_by_projection(
+                proj.uv, proj.pred_octave, leftover, loc_desc,
+                kp_uv, kp_oct, kp_valid & ~new_valid & ~kp_mp_valid, kp_desc,
+                radius=radius, level_scales=self._scales_dev,
+                th=matcher.TH_HIGH, nn_ratio=0.8,
+            )
+            kp_row2 = _scatter_matches(
+                m2.idx, m2.valid, jnp.arange(loc_pos.shape[0], dtype=jnp.int32), n)
+            add = (kp_row < 0) & ~kp_mp_valid & (kp_row2 >= 0)
+            pos2 = loc_pos[jnp.maximum(kp_row2, 0)]
+            pc = lie.transform(res.R, res.t, pos2)
+            z = jnp.maximum(pc[..., 2], 1e-8)
+            du = fx * pc[..., 0] / z + cx - kp_uv[:, 0]
+            dv = fy * pc[..., 1] / z + cy - kp_uv[:, 1]
+            chi2 = (du * du + dv * dv) * inv_sigma2
+            add = add & (chi2 <= 5.991) & (pc[..., 2] > 1e-4)
+            kp_row = jnp.where(add, kp_row2, kp_row)
+            new_valid = new_valid | add
+            res = res._replace(inliers=res.inliers | add)
         n_visible = jnp.sum(proj.visible.astype(jnp.int32))
         return res, kp_row, new_valid, n_visible
 
@@ -351,9 +397,16 @@ class Tracker:
         return st
 
     # ---------------------------------------------------------- stages
-    def _predict_pose(self):
+    def _predict_pose(self, ts: Optional[float] = None):
+        """Search-window prediction: planner odometry when buffered
+        (reference: ENABLE_PLANNER_PREDICTION README.md:87-101 +
+        PredictRelMotionFromBuffer Tracking.cc:1448), else constant
+        velocity."""
         T_last = self.last_frame.pose_matrix()
-        T_pred = self.velocity @ T_last
+        rel = None
+        if self.odom is not None and ts is not None and self.last_frame.timestamp is not None:
+            rel = self.odom.relative_motion(self.last_frame.timestamp, ts)
+        T_pred = (rel if rel is not None else self.velocity) @ T_last
         return T_pred[:3, :3].copy(), T_pred[:3, 3].copy()
 
     def _track_with_motion_model(self, frame: Frame, st: TrackStats) -> bool:
@@ -365,7 +418,7 @@ class Tracker:
         pt_oct = lf.octave.astype(np.int32)
         pt_pos[rows] = self.store.point_pos[ids[rows]]
         pt_desc[rows] = self.store.point_desc[ids[rows]]
-        R0, t0 = self._predict_pose()
+        R0, t0 = self._predict_pose(frame.timestamp)
         radius = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
         kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = self._frame_dev(frame)
         dev_in = jax.device_put((R0, t0, lf.R, lf.t, pt_pos, pt_oct, rows, pt_desc))
@@ -427,10 +480,12 @@ class Tracker:
             np.concatenate([s.point_max_dist[pts], np.ones(pad, np.float32)]),
             np.concatenate([s.point_desc[pts], np.zeros((pad, 8), np.uint32)]),
             np.concatenate([np.ones(n_loc, bool), np.zeros(pad, bool)]),
+            np.concatenate([s.point_found[pts].astype(np.float32),
+                            np.zeros(pad, np.float32)]),
         )
         self._cached_pool = (pts, jax.device_put(loc))
 
-    def fused_dispatch(self, frame_dev, frame_id: int):
+    def fused_dispatch(self, frame_dev, frame_id: int, ts: Optional[float] = None):
         """Dispatch the fused motion+local step using DEVICE keypoint arrays
         only (no host materialization of the current frame needed) — lets the
         caller overlap the frontend fetch with tracking compute. Returns the
@@ -447,7 +502,7 @@ class Tracker:
         pt_desc = np.zeros((self.n_kp, 8), np.uint32)
         pt_pos[rows] = s.point_pos[ids[rows]]
         pt_desc[rows] = s.point_desc[ids[rows]]
-        R0, t0 = self._predict_pose()
+        R0, t0 = self._predict_pose(ts)
         radius = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
         kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = frame_dev
         dev_in = jax.device_put(
@@ -596,6 +651,8 @@ class Tracker:
         loc_maxd = np.concatenate([s.point_max_dist[pts], np.ones(pad, np.float32)])
         loc_desc = np.concatenate([s.point_desc[pts], np.zeros((pad, 8), np.uint32)])
         loc_valid = np.concatenate([np.ones(n_loc, bool), np.zeros(pad, bool)])
+        loc_life = np.concatenate([s.point_found[pts].astype(np.float32),
+                                   np.zeros(pad, np.float32)])
         already = np.concatenate([np.isin(pts, frame.mp_ids[frame.mp_ids >= 0]), np.zeros(pad, bool)])
         # mark visible (reference IncreaseVisible in SearchLocalPoints)
         kp_mp_pos = np.zeros((self.n_kp, 3), np.float32)
@@ -605,11 +662,12 @@ class Tracker:
         kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = self._frame_dev(frame)
         dev_in = jax.device_put(
             (frame.R, frame.t, loc_pos, loc_normal, loc_mind, loc_maxd,
-             loc_desc, loc_valid, already, kp_mp_pos, has)
+             loc_desc, loc_valid, loc_life, already, kp_mp_pos, has)
         )
-        (R0_d, t0_d, lp_d, ln_d, lmi_d, lma_d, ld_d, lv_d, la_d, kmp_d, has_d) = dev_in
+        (R0_d, t0_d, lp_d, ln_d, lmi_d, lma_d, ld_d, lv_d, ll_d, la_d,
+         kmp_d, has_d) = dev_in
         res, kp_row, new_valid, n_vis = self._jit_local(
-            R0_d, t0_d, lp_d, ln_d, lmi_d, lma_d, ld_d, lv_d, la_d,
+            R0_d, t0_d, lp_d, ln_d, lmi_d, lma_d, ld_d, lv_d, ll_d, la_d,
             kp_uv, kp_oct, kp_ur, kp_val, kp_desc,
             kmp_d, has_d, jnp.float32(extra_r),
             jax.random.PRNGKey(frame.frame_id),
