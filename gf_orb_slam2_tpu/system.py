@@ -233,13 +233,27 @@ class System:
     def _build_stereo_frame(self, im_left, im_right, ts) -> Frame:
         import jax
 
-        imgs = jax.device_put((im_left, im_right))  # one H2D round-trip
-        out = self._get_frontend("stereo")(*imgs)
+        # ONE H2D transfer for the whole frame: images + fused-step inputs +
+        # the (previous frame's) local pool + scalars. Separate device_puts
+        # each cost a ~30 ms relay round trip regardless of payload.
+        prep = self.tracker.prepare_fused_host_inputs(ts, self.frame_id)
+        if prep is None:
+            imgs = jax.device_put((im_left, im_right))
+            out = self._get_frontend("stereo")(*imgs)
+            f = self._make_frame(out, ts)
+            f._predispatched = None
+            return f
+        host, meta = prep
+        (im_l_d, im_r_d), dev_in, loc_dev, scal = jax.device_put(
+            ((im_left, im_right),) + host
+        )
+        out = self._get_frontend("stereo")(im_l_d, im_r_d)
         # overlap: dispatch the fused tracking step on the DEVICE outputs
         # before fetching anything to the host — the whole frame then needs a
         # single blocking device_get (in the tracker).
         frame_dev = (out[0], out[1], out[6], out[5], out[3], out[2])
-        pre = self.tracker.fused_dispatch(frame_dev, self.frame_id, ts)
+        pre = self.tracker.fused_dispatch_uploaded(
+            frame_dev, dev_in, loc_dev, scal, meta)
         f = self._make_frame(out, ts)
         f._predispatched = pre
         return f

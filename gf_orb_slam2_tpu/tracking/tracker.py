@@ -185,7 +185,7 @@ class Tracker:
     def _fused_track_impl(
         self, R0, t0, R_init, t_init, pt_pos, pt_oct, pt_valid, pt_desc,
         loc_pos, loc_normal, loc_mind, loc_maxd, loc_desc, loc_valid, loc_life,
-        kp_uv, kp_oct, kp_ur, kp_valid, kp_desc, radius, extra_radius, rng_key,
+        kp_uv, kp_oct, kp_ur, kp_valid, kp_desc, radius, extra_radius, seed,
     ):
         """Motion-model step + local-map step chained in ONE device program.
 
@@ -202,15 +202,16 @@ class Tracker:
             (kp_row_m >= 0)[:, None], pt_pos[jnp.maximum(kp_row_m, 0)], 0.0
         )
         kp_mp_valid = kp_mp_valid_m & res_m.inliers
+        rng_key = jax.random.PRNGKey(seed)  # built on-device (no extra upload)
         loc_already = jnp.zeros(loc_pos.shape[0], bool)
-        res_l, kp_row_l, new_valid, n_vis = self._local_step_impl(
+        res_l, kp_row_l, kp_row_add, new_valid, n_vis = self._local_step_impl(
             res_m.R, res_m.t,
             loc_pos, loc_normal, loc_mind, loc_maxd, loc_desc, loc_valid,
             loc_life, loc_already,
             kp_uv, kp_oct, kp_ur, kp_valid, kp_desc,
             kp_mp_pos, kp_mp_valid, extra_radius, rng_key,
         )
-        return (res_m, kp_row_m, res_l, kp_row_l, n_vis)
+        return (res_m, kp_row_m, res_l, kp_row_l, kp_row_add, n_vis)
 
     def _local_step_impl(
         self, R0, t0,
@@ -289,18 +290,23 @@ class Tracker:
             R0, t0, new_pos, kp_uv, jnp.where(new_valid, kp_ur, -1.0),
             inv_sigma2, new_valid, fx, fy, cx, cy, bf,
         )
+        kp_row_add = jnp.full((n,), -1, jnp.int32)
         if gf_cfg.enabled and gf_cfg.search_additional and mode != GFMatchingMode.ALL:
             # Reference: Tracking::SearchAdditionalMatchesInFrame
             # (src/Tracking.cc:2119) — after the pose solve, match the
-            # LEFTOVER (unselected) candidates to still-free keypoints so the
-            # map associations stay dense for the KF policy and mapping; the
-            # pose itself is not re-optimized. New matches pass a chi2 gate
-            # against the refined pose.
+            # LEFTOVER (unselected) candidates to still-free keypoints. In
+            # the reference this runs AFTER the keyframe decision, so the
+            # extra matches only enrich the next frame's motion model — they
+            # are returned SEPARATELY here and merged host-side post-KF-policy
+            # (merging early inflates n_tracked and starves KF creation).
             leftover = full_pool & ~pool
+            # reference searches at HALF the usual window (th=0.5,
+            # Tracking.cc:2160): the refined pose is trusted and a tight
+            # window keeps aliased associations out of the map
             m2 = matcher.search_by_projection(
                 proj.uv, proj.pred_octave, leftover, loc_desc,
                 kp_uv, kp_oct, kp_valid & ~new_valid & ~kp_mp_valid, kp_desc,
-                radius=radius, level_scales=self._scales_dev,
+                radius=radius * 0.5, level_scales=self._scales_dev,
                 th=matcher.TH_HIGH, nn_ratio=0.8,
             )
             kp_row2 = _scatter_matches(
@@ -313,11 +319,9 @@ class Tracker:
             dv = fy * pc[..., 1] / z + cy - kp_uv[:, 1]
             chi2 = (du * du + dv * dv) * inv_sigma2
             add = add & (chi2 <= 5.991) & (pc[..., 2] > 1e-4)
-            kp_row = jnp.where(add, kp_row2, kp_row)
-            new_valid = new_valid | add
-            res = res._replace(inliers=res.inliers | add)
+            kp_row_add = jnp.where(add, kp_row2, -1)
         n_visible = jnp.sum(proj.visible.astype(jnp.int32))
-        return res, kp_row, new_valid, n_visible
+        return res, kp_row, kp_row_add, new_valid, n_visible
 
     # ================================================== host orchestration
     def _frame_dev(self, frame: Frame):
@@ -386,6 +390,7 @@ class Tracker:
             if self._need_new_keyframe(frame):
                 self._create_keyframe(frame)
                 st.created_kf = True
+            self._merge_additional_matches(frame)
         else:
             self.state = TrackState.LOST
             self.n_lost += 1
@@ -395,6 +400,24 @@ class Tracker:
         st.n_inliers = frame.n_matched
         self._finish_frame(frame, st)
         return st
+
+    def _merge_additional_matches(self, frame: Frame):
+        """Merge the leftover-candidate matches into the frame AFTER the KF
+        policy ran (reference order: SearchAdditionalMatchesInFrame is called
+        after CreateNewKeyFrame, Tracking.cc:878-969 → 2119 — the extra
+        matches feed the next frame's motion model, not the KF decision)."""
+        extra = getattr(frame, "_extra_assign", None)
+        if extra is None:
+            return
+        claimed = set(frame.mp_ids[frame.mp_ids >= 0].tolist())
+        fill = (frame.mp_ids < 0) & (extra >= 0)
+        for j in np.nonzero(fill)[0]:
+            e = int(extra[j])
+            if e in claimed:
+                continue
+            frame.mp_ids[j] = e
+            claimed.add(e)
+        frame._extra_assign = None
 
     # ---------------------------------------------------------- stages
     def _predict_pose(self, ts: Optional[float] = None):
@@ -483,19 +506,21 @@ class Tracker:
             np.concatenate([s.point_found[pts].astype(np.float32),
                             np.zeros(pad, np.float32)]),
         )
-        self._cached_pool = (pts, jax.device_put(loc))
+        # kept as NUMPY: uploaded as part of the NEXT frame's single
+        # device_put (every separate put costs a ~30 ms relay round trip)
+        self._cached_pool = (pts, loc)
 
-    def fused_dispatch(self, frame_dev, frame_id: int, ts: Optional[float] = None):
-        """Dispatch the fused motion+local step using DEVICE keypoint arrays
-        only (no host materialization of the current frame needed) — lets the
-        caller overlap the frontend fetch with tracking compute. Returns the
-        async output handles, or None when fusing isn't possible."""
+    def prepare_fused_host_inputs(self, ts: Optional[float], frame_id: int):
+        """Build ALL host-side inputs of the fused step before any device
+        work, so the caller can ship the whole frame (images + tracking
+        inputs + the deferred local pool + scalars) in ONE device_put.
+        Returns (host_pytree, meta) or None when fusing isn't possible."""
         if (self.state != TrackState.OK or self.velocity is None
                 or self._cached_pool is None or self.last_frame is None):
             return None
         lf = self.last_frame
         s = self.store
-        pool_ids, loc_dev = self._cached_pool
+        pool_ids, loc_np = self._cached_pool
         ids = s.resolve_replaced(lf.mp_ids)
         rows = ids >= 0
         pt_pos = np.zeros((self.n_kp, 3), np.float32)
@@ -504,17 +529,33 @@ class Tracker:
         pt_desc[rows] = s.point_desc[ids[rows]]
         R0, t0 = self._predict_pose(ts)
         radius = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
-        kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = frame_dev
-        dev_in = jax.device_put(
-            (R0, t0, lf.R, lf.t, pt_pos, lf.octave.astype(np.int32), rows, pt_desc)
+        host = (
+            (R0, t0, lf.R, lf.t, pt_pos, lf.octave.astype(np.int32), rows, pt_desc),
+            loc_np,
+            (np.float32(radius), np.float32(1.0), np.int32(frame_id)),
         )
+        return host, (ids, pool_ids)
+
+    def fused_dispatch_uploaded(self, frame_dev, dev_in, loc_dev, scalars, meta):
+        """Dispatch the fused step on already-uploaded device inputs."""
+        ids, pool_ids = meta
+        kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = frame_dev
+        radius, extra_r, seed = scalars
         out = self._jit_fused(
             *dev_in, *loc_dev,
-            kp_uv, kp_oct, kp_ur, kp_val, kp_desc,
-            jnp.float32(radius), jnp.float32(1.0),
-            jax.random.PRNGKey(frame_id),
+            kp_uv, kp_oct, kp_ur, kp_val, kp_desc, radius, extra_r, seed,
         )
         return (out, ids, pool_ids)
+
+    def fused_dispatch(self, frame_dev, frame_id: int, ts: Optional[float] = None):
+        """Upload + dispatch in one call (fallback path; the System normally
+        batches the upload with the images via prepare_fused_host_inputs)."""
+        prep = self.prepare_fused_host_inputs(ts, frame_id)
+        if prep is None:
+            return None
+        host, meta = prep
+        dev = jax.device_put(host)
+        return self.fused_dispatch_uploaded(frame_dev, *dev, meta)
 
     def _track_fused(self, frame: Frame, st: TrackStats,
                      predispatched=None) -> bool:
@@ -523,25 +564,28 @@ class Tracker:
         s = self.store
         if predispatched is None:
             kp_dev = self._frame_dev(frame)
-            predispatched = self.fused_dispatch(kp_dev, frame.frame_id)
+            predispatched = self.fused_dispatch(kp_dev, frame.frame_id,
+                                                frame.timestamp)
             if predispatched is None:
                 return False
         out, ids, pool_ids = predispatched
-        res_m, kp_row_m, res_l, kp_row_l, n_vis = out
+        res_m, kp_row_m, res_l, kp_row_l, kp_row_add, n_vis = out
         if frame.uv is None:
             # ONE blocking sync: frame host arrays + tracking results together
-            frame_vals, (kp_row_m, m_inl, kp_row_l, l_inl, R_h, t_h, n_inl_d) = (
+            frame_vals, (kp_row_m, m_inl, kp_row_l, kp_row_add, l_inl, R_h,
+                         t_h, n_inl_d) = (
                 jax.device_get(
                     (frame._dev_out,
-                     (kp_row_m, res_m.inliers, kp_row_l, res_l.inliers,
-                      res_l.R, res_l.t, res_l.n_inliers))
+                     (kp_row_m, res_m.inliers, kp_row_l, kp_row_add,
+                      res_l.inliers, res_l.R, res_l.t, res_l.n_inliers))
                 )
             )
             frame.fill_host(frame_vals)
         else:
-            (kp_row_m, m_inl, kp_row_l, l_inl, R_h, t_h, n_inl_d) = jax.device_get(
-                (kp_row_m, res_m.inliers, kp_row_l, res_l.inliers,
-                 res_l.R, res_l.t, res_l.n_inliers)
+            (kp_row_m, m_inl, kp_row_l, kp_row_add, l_inl, R_h, t_h,
+             n_inl_d) = jax.device_get(
+                (kp_row_m, res_m.inliers, kp_row_l, kp_row_add,
+                 res_l.inliers, res_l.R, res_l.t, res_l.n_inliers)
             )
         st.n_motion_matches = int((kp_row_m >= 0).sum())
         # combine associations: motion first, then local fills the rest
@@ -561,6 +605,12 @@ class Tracker:
         frame.mp_ids = mp
         frame.is_outlier = (frame.mp_ids >= 0) & ~l_inl
         frame.mp_ids[frame.is_outlier] = -1
+        # additional (leftover) matches: merged only AFTER the KF policy
+        # (reference runs SearchAdditionalMatchesInFrame after
+        # CreateNewKeyFrame — see _merge_additional_matches)
+        frame._extra_assign = np.where(
+            kp_row_add >= 0, pool_pad[np.maximum(kp_row_add, 0)], -1
+        )
         frame.R = R_h
         frame.t = t_h
         st.n_local_points = int(pool_ids.size)
@@ -666,20 +716,23 @@ class Tracker:
         )
         (R0_d, t0_d, lp_d, ln_d, lmi_d, lma_d, ld_d, lv_d, ll_d, la_d,
          kmp_d, has_d) = dev_in
-        res, kp_row, new_valid, n_vis = self._jit_local(
+        res, kp_row, kp_row_add, new_valid, n_vis = self._jit_local(
             R0_d, t0_d, lp_d, ln_d, lmi_d, lma_d, ld_d, lv_d, ll_d, la_d,
             kp_uv, kp_oct, kp_ur, kp_val, kp_desc,
             kmp_d, has_d, jnp.float32(extra_r),
             jax.random.PRNGKey(frame.frame_id),
         )
-        kp_row, inl, R_h, t_h, n_inl_d = jax.device_get(
-            (kp_row, res.inliers, res.R, res.t, res.n_inliers)
+        kp_row, kp_row_add, inl, R_h, t_h, n_inl_d = jax.device_get(
+            (kp_row, kp_row_add, res.inliers, res.R, res.t, res.n_inliers)
         )
         pts_pad = np.concatenate([pts, np.full(pad, -1, np.int64)])
         new_ids = np.where(kp_row >= 0, pts_pad[np.maximum(kp_row, 0)], frame.mp_ids)
         frame.mp_ids = new_ids.astype(np.int32)
         frame.is_outlier = (frame.mp_ids >= 0) & ~inl
         frame.mp_ids[frame.is_outlier] = -1
+        frame._extra_assign = np.where(
+            kp_row_add >= 0, pts_pad[np.maximum(kp_row_add, 0)], -1
+        )
         frame.R = R_h
         frame.t = t_h
         st.n_local_matches = int((kp_row >= 0).sum())
