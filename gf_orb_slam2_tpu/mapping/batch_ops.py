@@ -34,8 +34,13 @@ def refresh_points_batch(store, pts: np.ndarray, level_scales: np.ndarray):
     x = descs[:, :, None, :] ^ descs[:, None, :, :]       # [P,O,O,8]
     d = np.bitwise_count(x).sum(-1).astype(np.float32)    # [P,O,O]
     pair_ok = valid[:, :, None] & valid[:, None, :]
-    d[~pair_ok] = np.nan
-    med = np.nanmedian(np.where(pair_ok, d, np.nan), axis=2)  # [P,O]
+    # median over the valid columns only: sort with +inf fill, index (n-1)//2
+    d = np.where(pair_ok, d, np.inf)
+    d.sort(axis=2)
+    nv = np.maximum(valid.sum(1), 1)                      # [P]
+    med = np.take_along_axis(
+        d, ((nv - 1) // 2)[:, None, None].astype(np.int64), axis=2
+    )[:, :, 0]                                            # [P,O]
     med[~valid] = np.inf
     best = np.argmin(med, axis=1)                         # [P]
     s.point_desc[pts] = descs[np.arange(pts.size), best]

@@ -96,11 +96,10 @@ class LocalMapper:
             mih.update_table_selection()
 
     def _refresh_point_stats(self, kf: int):
+        from gf_orb_slam2_tpu.mapping.batch_ops import refresh_points_batch
+
         s = self.store
-        pts = s.kf_point[kf]
-        for p in pts[pts >= 0]:
-            s.distinctive_descriptor(int(p))
-            s.update_normal_and_depth(int(p), self.level_scales)
+        refresh_points_batch(s, s.kf_point[kf], self.level_scales)
         s.update_connections(kf)
 
     # -------------------------------------------------------------- culling
@@ -357,28 +356,31 @@ class LocalMapper:
         kf_index = {k: i for i, k in enumerate(kfs)}
 
         P = int(pts.size)
-        obs_kf_arr = np.full((P, O_CAP), -1, np.int32)
-        obs_uv = np.zeros((P, O_CAP, 2), np.float32)
-        obs_ur = np.full((P, O_CAP), -1.0, np.float32)
-        obs_inv2 = np.ones((P, O_CAP), np.float32)
-        obs_valid = np.zeros((P, O_CAP), bool)
-        obs_slot = np.full((P, O_CAP), -1, np.int32)  # kp slot for write-back
         inv_sig = 1.0 / self.level_scales**2
-        for pi, p in enumerate(pts):
-            o = 0
-            for si in range(s.obs_kf.shape[1]):
-                k = s.obs_kf[p, si]
-                if k < 0 or k not in kf_index or o >= O_CAP:
-                    continue
-                j = s.obs_idx[p, si]
-                ki = kf_index[k]
-                obs_kf_arr[pi, o] = ki
-                obs_uv[pi, o] = s.kf_uv[k, j]
-                obs_ur[pi, o] = s.kf_u_right[k, j]
-                obs_inv2[pi, o] = inv_sig[min(s.kf_octave[k, j], len(inv_sig) - 1)]
-                obs_valid[pi, o] = True
-                obs_slot[pi, o] = j
-                o += 1
+        # vectorized observation packing: map global KF id -> local index via
+        # a lookup table, stable-compact valid entries to the front, cap O_CAP
+        lut = np.full(int(s.obs_kf[pts].max(initial=0)) + 2, -1, np.int32)
+        lut[np.asarray(kfs, np.int64)] = np.arange(K, dtype=np.int32)
+        okf_all = s.obs_kf[pts]                         # [P,O_store]
+        oidx_all = s.obs_idx[pts]
+        ki_all = np.where(okf_all >= 0, lut[np.maximum(okf_all, 0)], -1)
+        in_win = ki_all >= 0
+        order = np.argsort(~in_win, axis=1, kind="stable")[:, :O_CAP]
+        obs_kf_arr = np.take_along_axis(ki_all, order, 1).astype(np.int32)
+        obs_valid = np.take_along_axis(in_win, order, 1)
+        okf_sel = np.maximum(np.take_along_axis(okf_all, order, 1), 0)
+        obs_slot = np.take_along_axis(oidx_all, order, 1).astype(np.int32)
+        oidx_sel = np.maximum(obs_slot, 0)
+        obs_kf_arr[~obs_valid] = -1
+        obs_slot[~obs_valid] = -1
+        obs_uv = s.kf_uv[okf_sel, oidx_sel].astype(np.float32)
+        obs_ur = np.where(obs_valid, s.kf_u_right[okf_sel, oidx_sel],
+                          -1.0).astype(np.float32)
+        obs_inv2 = inv_sig[
+            np.clip(s.kf_octave[okf_sel, oidx_sel], 0, len(inv_sig) - 1)
+        ].astype(np.float32)
+        obs_inv2[~obs_valid] = 1.0
+        obs_uv[~obs_valid] = 0.0
 
         # pad P to the jit-stable capacity bucket (powers of two) to bound
         # recompilation counts
@@ -483,34 +485,10 @@ class LocalMapper:
     def cull_keyframes(self, kf: int) -> int:
         """Reference: KeyFrameCulling (LocalMapping.cc:820) — erase local KFs
         whose points are ≥90% observed by ≥3 other KFs at same/finer scale."""
+        from gf_orb_slam2_tpu.mapping.batch_ops import redundant_keyframes
+
         s = self.store
-        n_culled = 0
-        for k in [int(x) for x in s.covisible_kfs(kf)]:
-            if k == 0 or not s.kf_valid[k]:
-                continue
-            pts = s.kf_point[k]
-            slots = np.nonzero(pts >= 0)[0]
-            if slots.size == 0:
-                continue
-            n_redundant = 0
-            for j in slots:
-                p = pts[j]
-                if not s.point_valid[p]:
-                    continue
-                scale = s.kf_octave[k, j]
-                n_better = 0
-                for si in range(s.obs_kf.shape[1]):
-                    ko = s.obs_kf[p, si]
-                    if ko < 0 or ko == k:
-                        continue
-                    jo = s.obs_idx[p, si]
-                    if s.kf_octave[ko, jo] <= scale + 1:
-                        n_better += 1
-                        if n_better >= 3:
-                            break
-                if n_better >= 3:
-                    n_redundant += 1
-            if n_redundant > 0.9 * slots.size:
-                s.erase_keyframe(k)
-                n_culled += 1
-        return n_culled
+        victims = redundant_keyframes(s, s.covisible_kfs(kf))
+        for k in victims:
+            s.erase_keyframe(k)
+        return len(victims)

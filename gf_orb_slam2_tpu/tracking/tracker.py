@@ -98,6 +98,35 @@ class Tracker:
         self._jit_local = jax.jit(self._local_step_impl)
         self._jit_reloc = jax.jit(self._reloc_step_impl)
         self._jit_fused = jax.jit(self._fused_track_impl)
+        self._jit_fused_packed = jax.jit(self._fused_packed_impl)
+        # single-buffer transfer layouts: the relay charges per pytree LEAF
+        # (~1-7 ms each, measured), so the per-frame upload and fetch are
+        # packed into one uint32 array each (utils/packing.py)
+        from gf_orb_slam2_tpu.utils.packing import Layout
+
+        N = n_kp
+        self._up_layout = Layout([
+            ("R0", (3, 3), "f32"), ("t0", (3,), "f32"),
+            ("R_init", (3, 3), "f32"), ("t_init", (3,), "f32"),
+            ("pt_pos", (N, 3), "f32"), ("pt_oct", (N,), "i32"),
+            ("pt_valid", (N,), "bool"), ("pt_desc", (N, 8), "u32"),
+            ("loc_pos", (L, 3), "f32"), ("loc_normal", (L, 3), "f32"),
+            ("loc_mind", (L,), "f32"), ("loc_maxd", (L,), "f32"),
+            ("loc_desc", (L, 8), "u32"), ("loc_valid", (L,), "bool"),
+            ("loc_life", (L,), "f32"),
+            ("radius", (), "f32"), ("extra", (), "f32"), ("seed", (), "i32"),
+        ])
+        self._out_layout = Layout([
+            ("uv", (N, 2), "f32"), ("octave", (N,), "i32"),
+            ("angle", (N,), "f32"), ("desc", (N, 8), "u32"),
+            ("response", (N,), "f32"), ("valid", (N,), "bool"),
+            ("u_right", (N,), "f32"), ("depth", (N,), "f32"),
+            ("kp_row_m", (N,), "i32"), ("m_inl", (N,), "bool"),
+            ("kp_row_l", (N,), "i32"), ("kp_row_add", (N,), "i32"),
+            ("l_inl", (N,), "bool"),
+            ("R", (3, 3), "f32"), ("t", (3,), "f32"),
+            ("n_inliers", (), "i32"), ("n_vis", (), "i32"),
+        ])
         self._cached_pool = None  # (ids, device loc arrays) for the fused path
         self._last_reloc_frame = -10**9
         self.kfdb = None  # set by System once place recognition is up
@@ -323,6 +352,26 @@ class Tracker:
         n_visible = jnp.sum(proj.visible.astype(jnp.int32))
         return res, kp_row, kp_row_add, new_valid, n_visible
 
+    def _fused_packed_impl(self, upload, uv, octv, ang, desc, resp, val, ur, dep):
+        """Packed-transfer wrapper of the fused step: ONE uint32 upload in,
+        ONE uint32 result (frame block + tracking block) out — the relay
+        charges per transferred leaf, not per byte."""
+        u = self._up_layout.unpack_jnp(upload)
+        res_m, kp_row_m, res_l, kp_row_l, kp_row_add, n_vis = self._fused_track_impl(
+            u["R0"], u["t0"], u["R_init"], u["t_init"],
+            u["pt_pos"], u["pt_oct"], u["pt_valid"], u["pt_desc"],
+            u["loc_pos"], u["loc_normal"], u["loc_mind"], u["loc_maxd"],
+            u["loc_desc"], u["loc_valid"], u["loc_life"],
+            uv, octv, ur, val, desc, u["radius"], u["extra"], u["seed"],
+        )
+        return self._out_layout.pack_jnp(dict(
+            uv=uv, octave=octv, angle=ang, desc=desc, response=resp,
+            valid=val, u_right=ur, depth=dep,
+            kp_row_m=kp_row_m, m_inl=res_m.inliers, kp_row_l=kp_row_l,
+            kp_row_add=kp_row_add, l_inl=res_l.inliers,
+            R=res_l.R, t=res_l.t, n_inliers=res_l.n_inliers, n_vis=n_vis,
+        ))
+
     # ================================================== host orchestration
     def _frame_dev(self, frame: Frame):
         """Per-frame device arrays, converted once (the kp set is used by
@@ -511,10 +560,9 @@ class Tracker:
         self._cached_pool = (pts, loc)
 
     def prepare_fused_host_inputs(self, ts: Optional[float], frame_id: int):
-        """Build ALL host-side inputs of the fused step before any device
-        work, so the caller can ship the whole frame (images + tracking
-        inputs + the deferred local pool + scalars) in ONE device_put.
-        Returns (host_pytree, meta) or None when fusing isn't possible."""
+        """Build the fused step's entire host-side input as ONE packed uint32
+        buffer before any device work — the caller ships it together with the
+        images in a single device_put. Returns (packed_np, meta) or None."""
         if (self.state != TrackState.OK or self.velocity is None
                 or self._cached_pool is None or self.last_frame is None):
             return None
@@ -529,33 +577,42 @@ class Tracker:
         pt_desc[rows] = s.point_desc[ids[rows]]
         R0, t0 = self._predict_pose(ts)
         radius = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
-        host = (
-            (R0, t0, lf.R, lf.t, pt_pos, lf.octave.astype(np.int32), rows, pt_desc),
-            loc_np,
-            (np.float32(radius), np.float32(1.0), np.int32(frame_id)),
-        )
-        return host, (ids, pool_ids)
+        packed = self._up_layout.pack_np(dict(
+            R0=R0, t0=t0, R_init=lf.R, t_init=lf.t,
+            pt_pos=pt_pos, pt_oct=lf.octave.astype(np.int32),
+            pt_valid=rows, pt_desc=pt_desc,
+            loc_pos=loc_np[0], loc_normal=loc_np[1], loc_mind=loc_np[2],
+            loc_maxd=loc_np[3], loc_desc=loc_np[4], loc_valid=loc_np[5],
+            loc_life=loc_np[6],
+            radius=np.float32(radius), extra=np.float32(1.0),
+            seed=np.int32(frame_id),
+        ))
+        return packed, (ids, pool_ids)
 
-    def fused_dispatch_uploaded(self, frame_dev, dev_in, loc_dev, scalars, meta):
-        """Dispatch the fused step on already-uploaded device inputs."""
+    def fused_dispatch_uploaded(self, frontend_out, upload_dev, meta):
+        """Dispatch the packed fused step on the frontend's DEVICE outputs
+        (uv, octave, angle, desc, response, valid, u_right, depth) and the
+        already-uploaded packed input buffer."""
         ids, pool_ids = meta
-        kp_uv, kp_oct, kp_ur, kp_val, kp_desc, _ = frame_dev
-        radius, extra_r, seed = scalars
-        out = self._jit_fused(
-            *dev_in, *loc_dev,
-            kp_uv, kp_oct, kp_ur, kp_val, kp_desc, radius, extra_r, seed,
-        )
+        uv, octv, ang, desc, resp, val, ur, dep = frontend_out
+        out = self._jit_fused_packed(upload_dev, uv, octv, ang, desc, resp,
+                                     val, ur, dep)
         return (out, ids, pool_ids)
 
     def fused_dispatch(self, frame_dev, frame_id: int, ts: Optional[float] = None):
-        """Upload + dispatch in one call (fallback path; the System normally
-        batches the upload with the images via prepare_fused_host_inputs)."""
+        """Upload + dispatch from a host-materialized frame (feature-level
+        entry / tests; the System image path batches the upload with the
+        images instead)."""
         prep = self.prepare_fused_host_inputs(ts, frame_id)
         if prep is None:
             return None
-        host, meta = prep
-        dev = jax.device_put(host)
-        return self.fused_dispatch_uploaded(frame_dev, *dev, meta)
+        packed, meta = prep
+        kp_uv, kp_oct, kp_ur, kp_val, kp_desc, kp_ang = frame_dev
+        zeros = jnp.zeros(kp_ur.shape, jnp.float32)
+        up_d = jax.device_put(packed)
+        return self.fused_dispatch_uploaded(
+            (kp_uv, kp_oct, kp_ang, kp_desc, zeros, kp_val, kp_ur, zeros),
+            up_d, meta)
 
     def _track_fused(self, frame: Frame, st: TrackStats,
                      predispatched=None) -> bool:
@@ -568,25 +625,17 @@ class Tracker:
                                                 frame.timestamp)
             if predispatched is None:
                 return False
-        out, ids, pool_ids = predispatched
-        res_m, kp_row_m, res_l, kp_row_l, kp_row_add, n_vis = out
+        packed_out, ids, pool_ids = predispatched
+        # ONE blocking sync, ONE leaf: the packed buffer carries the frame
+        # host arrays AND the tracking results
+        d = self._out_layout.unpack_np(np.asarray(jax.device_get(packed_out)))
         if frame.uv is None:
-            # ONE blocking sync: frame host arrays + tracking results together
-            frame_vals, (kp_row_m, m_inl, kp_row_l, kp_row_add, l_inl, R_h,
-                         t_h, n_inl_d) = (
-                jax.device_get(
-                    (frame._dev_out,
-                     (kp_row_m, res_m.inliers, kp_row_l, kp_row_add,
-                      res_l.inliers, res_l.R, res_l.t, res_l.n_inliers))
-                )
-            )
-            frame.fill_host(frame_vals)
-        else:
-            (kp_row_m, m_inl, kp_row_l, kp_row_add, l_inl, R_h, t_h,
-             n_inl_d) = jax.device_get(
-                (kp_row_m, res_m.inliers, kp_row_l, kp_row_add,
-                 res_l.inliers, res_l.R, res_l.t, res_l.n_inliers)
-            )
+            frame.fill_host((d["uv"], d["octave"], d["angle"], d["desc"],
+                             d["response"], d["valid"], d["u_right"],
+                             d["depth"]))
+        kp_row_m, m_inl = d["kp_row_m"], d["m_inl"]
+        kp_row_l, kp_row_add, l_inl = d["kp_row_l"], d["kp_row_add"], d["l_inl"]
+        R_h, t_h, n_inl_d = d["R"], d["t"], d["n_inliers"]
         st.n_motion_matches = int((kp_row_m >= 0).sum())
         # combine associations: motion first, then local fills the rest
         mp = np.where(kp_row_m >= 0, ids[np.maximum(kp_row_m, 0)], -1).astype(np.int32)

@@ -48,23 +48,22 @@ def main():
     print("state:", slam.state.name)
 
     # ---- time the fused stereo frontend program
-    imL = jnp.asarray(frames[16][0])
-    imR = jnp.asarray(frames[16][1])
+    imgs = jnp.asarray(np.stack([frames[16][0], frames[16][1]]))
     impl = slam._frontend_stereo_impl
 
     @jax.jit
-    def fe_prog(l, r):
+    def fe_prog(ims):
         def body(_, carry):
-            l_, r_, acc = carry
-            out = impl(l_, r_)
+            ims_, acc = carry
+            out = impl(ims_)
             s = jnp.sum(out[0][:, 0]) * 1e-9 + jnp.sum(out[7]) * 1e-12
-            return (l_ + 0.0 * s, r_ + 0.0 * s, acc + s)
+            return (ims_ + 0.0 * s, acc + s)
 
-        _, _, acc = jax.lax.fori_loop(0, K, body, (l, r, jnp.float32(0.0)))
+        _, acc = jax.lax.fori_loop(0, K, body, (imgs, jnp.float32(0.0)))
         return acc
 
-    r = fe_prog(imL, imR); jax.device_get(r)
-    t0 = time.perf_counter(); r = fe_prog(imL, imR); jax.device_get(r)
+    r = fe_prog(imgs); jax.device_get(r)
+    t0 = time.perf_counter(); r = fe_prog(imgs); jax.device_get(r)
     print(f"frontend_stereo  {1e3 * (time.perf_counter() - t0) / K:8.2f} ms/iter")
 
     # ---- time the fused track program with realistic shapes
@@ -91,11 +90,11 @@ def main():
             (R0c, acc) = carry
             out = impl_track(
                 R0c, t0__, Ri, ti, ppos, poct, pval, pdesc,
-                *loc_dev,
+                *[jnp.asarray(x) for x in loc_dev],
                 kp[0], kp[1], kp[2], kp[3], kp[4],
-                jnp.float32(7.0), jnp.float32(1.0), jax.random.PRNGKey(0),
+                jnp.float32(7.0), jnp.float32(1.0), jnp.int32(0),
             )
-            res_m, kp_row_m, res_l, kp_row_l, n_vis = out
+            res_m, kp_row_m, res_l, kp_row_l, kp_row_add, n_vis = out
             sc = jnp.sum(res_l.t) * 1e-9
             return (R0c + 0.0 * sc, acc + sc)
 
