@@ -22,10 +22,19 @@ def refresh_points_batch(store, pts: np.ndarray, level_scales: np.ndarray):
     pts = pts[s.point_valid[pts]]
     if pts.size == 0:
         return
-    O = s.obs_kf.shape[1]
-    okf = s.obs_kf[pts]            # [P,O]
-    oidx = s.obs_idx[pts]          # [P,O]
+    okf = s.obs_kf[pts]            # [P,O_store]
+    oidx = s.obs_idx[pts]          # [P,O_store]
     valid = okf >= 0
+    # compact valid observations to the front and slice to the realized max
+    # count: the store's O=48 slots are mostly empty, and the pairwise
+    # Hamming tensor below is O(P*O^2*8)
+    order = np.argsort(~valid, axis=1, kind="stable")
+    M = max(int(valid.sum(1).max(initial=1)), 1)
+    order = order[:, :M]
+    okf = np.take_along_axis(okf, order, 1)
+    oidx = np.take_along_axis(oidx, order, 1)
+    valid = np.take_along_axis(valid, order, 1)
+    O = M
     okf_c = np.maximum(okf, 0)
     oidx_c = np.maximum(oidx, 0)
 

@@ -198,22 +198,25 @@ class LocalMapper:
         free_n = np.stack(
             [(s.kf_point[kn] < 0) & s.kf_kp_valid[kn] & (kn != kf) for kn in kns]
         )
+        # anchor-KF arrays ride ONCE (vmap in_axes=None) — broadcasting them
+        # to [B,...] before upload shipped B copies over the relay
         dev_in = jax.device_put((
-            np.broadcast_to(s.kf_R[kf], (B, 3, 3)),
-            np.broadcast_to(s.kf_t[kf], (B, 3)),
+            s.kf_R[kf], s.kf_t[kf],
             s.kf_R[kns], s.kf_t[kns],
-            np.broadcast_to(s.kf_uv[kf], (B,) + s.kf_uv[kf].shape),
-            np.broadcast_to(s.kf_octave[kf], (B,) + s.kf_octave[kf].shape),
-            np.broadcast_to(s.kf_desc[kf], (B,) + s.kf_desc[kf].shape),
-            np.broadcast_to(free_k, (B,) + free_k.shape),
-            np.broadcast_to(s.kf_u_right[kf], (B,) + s.kf_u_right[kf].shape),
+            s.kf_uv[kf], s.kf_octave[kf], s.kf_desc[kf], free_k,
+            s.kf_u_right[kf],
             s.kf_uv[kns], s.kf_octave[kns], s.kf_desc[kns], free_n,
             s.kf_u_right[kns],
         ))
         if not hasattr(self, "_jit_triangulate_batch"):
-            self._jit_triangulate_batch = jax.jit(jax.vmap(self._triangulate_pair_impl))
+            self._jit_triangulate_batch = jax.jit(jax.vmap(
+                self._triangulate_pair_impl,
+                in_axes=(None, None, 0, 0, None, None, None, None, None,
+                         0, 0, 0, 0, 0),
+            ))
         Xw_b, idx2_b, ok_b = jax.device_get(self._jit_triangulate_batch(*dev_in))
         created = 0
+        new_ids: List[int] = []
         for b in range(B):
             if not pair_mask[b]:
                 continue
@@ -227,10 +230,16 @@ class LocalMapper:
                 p = s.add_point(Xw_b[b, i1], s.kf_desc[kf, i1], first_kf=kf)
                 s.add_observation(p, kf, int(i1))
                 s.add_observation(p, kn, i2)
-                s.update_normal_and_depth(p, self.level_scales)
                 self.recent_points.append((p, kf))
+                new_ids.append(p)
                 created += 1
         if created:
+            # one batched descriptor+normal/depth refresh for all new points
+            # (reference: ComputeDistinctiveDescriptors + UpdateNormalAndDepth
+            # per point, LocalMapping.cc:370)
+            from gf_orb_slam2_tpu.mapping.batch_ops import refresh_points_batch
+
+            refresh_points_batch(s, np.asarray(new_ids), self.level_scales)
             s.update_connections(kf)
         return created
 
@@ -417,32 +426,23 @@ class LocalMapper:
         prob = jax.device_put(prob)
         cam = self.cfg.camera
         gg = self.cfg.good_graph
-        if gg.enabled and len(window) > gg.kf_thres:
+        use_gg = gg.enabled and len(window) > gg.kf_thres
+        if use_gg:
             # GOOD GRAPH: reduce the free-KF set to the Max-logDet subgraph
             # (reference: Find_Subgraph call, Optimizer.cc:1156; unselected
             # free KFs become fixed — the reduced-list rebuild of
             # Optimizer.cc:1171-1237 collapses to a mask update here).
-            import jax as _jax
-
-            from gf_orb_slam2_tpu.optim.local_ba import pose_schur_blocks
-            from gf_orb_slam2_tpu.selection.good_graph import select_subgraph
-
-            S = self._run_schur_jit(prob, cam)
-            free = jnp.asarray(~fixed_mask & kf_valid)
-            keep = jnp.zeros(K_pad, bool).at[0].set(True)  # current KF
-            sel = select_subgraph(
-                S, free, gg.subgraph_size, _jax.random.PRNGKey(kf),
-                lazier_factor=gg.lazier_factor, always_keep=keep,
-            )
-            sel_np = np.asarray(sel)
-            new_fixed = fixed_mask | (~sel_np & ~fixed_mask & kf_valid)
-            new_fixed[0] = fixed_mask[0]  # current KF stays free
-            fixed_mask = new_fixed
-            prob = prob._replace(kf_fixed=jnp.asarray(fixed_mask))
+            # Schur + lazier-greedy selection + the BA itself run as ONE
+            # device program: each extra blocking sync costs a ~26 ms relay
+            # round trip (tools/relay_microbench.py).
+            res, sel = self._run_gg_ba_jit(prob, jax.random.PRNGKey(kf), cam)
+            res, sel_np = jax.device_get((res, sel))
+            fixed_mask = fixed_mask | (~sel_np & ~fixed_mask & kf_valid)
             st.ba_kfs = int((~fixed_mask & kf_valid).sum())
-        res = self._run_ba_jit(prob, cam)
+        else:
+            res = self._run_ba_jit(prob, cam)
+            res = jax.device_get(res)
         # ---- write back (one batched transfer)
-        res = jax.device_get(res)
         kf_R = np.asarray(res.kf_R)[:K]
         kf_t = np.asarray(res.kf_t)[:K]
         for i, k in enumerate(kfs):
@@ -456,7 +456,8 @@ class LocalMapper:
             ki = obs_kf_arr[pi, o]
             s.remove_observation(int(pts[pi]), int(kfs[ki]))
         st.ba_cost = float(res.final_cost)
-        st.ba_kfs = len(window)
+        if not use_gg:
+            st.ba_kfs = len(window)
         st.ba_points = P
 
     def _run_ba_jit(self, prob: LocalBAProblem, cam):
@@ -471,15 +472,34 @@ class LocalMapper:
             )
         return self._ba_shapes[key](prob)
 
-    def _run_schur_jit(self, prob: LocalBAProblem, cam):
-        from gf_orb_slam2_tpu.optim.local_ba import pose_schur_blocks
-
-        key = ("schur", prob.pt_pos.shape[0], prob.kf_R.shape[0], prob.obs_kf.shape[1])
+    def _run_gg_ba_jit(self, prob: LocalBAProblem, rng, cam):
+        """Good-graph selection + local BA fused into one device program
+        (one dispatch, one blocking fetch). Returns (ba_result, sel_mask)."""
+        key = ("ggba", prob.pt_pos.shape[0], prob.kf_R.shape[0], prob.obs_kf.shape[1])
         if key not in self._ba_shapes:
-            self._ba_shapes[key] = jax.jit(
-                lambda pr: pose_schur_blocks(pr, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
-            )
-        return self._ba_shapes[key](prob)
+            from gf_orb_slam2_tpu.optim.local_ba import pose_schur_blocks
+            from gf_orb_slam2_tpu.selection.good_graph import select_subgraph
+
+            lb = self.cfg.local_ba
+            gg = self.cfg.good_graph
+
+            def run(pr, k):
+                S = pose_schur_blocks(pr, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+                free = ~pr.kf_fixed & pr.kf_valid
+                keep = jnp.zeros(pr.kf_R.shape[0], bool).at[0].set(True)
+                sel = select_subgraph(
+                    S, free, gg.subgraph_size, k,
+                    lazier_factor=gg.lazier_factor, always_keep=keep,
+                )
+                pr = pr._replace(kf_fixed=pr.kf_fixed | (~sel & free))
+                res = local_bundle_adjustment(
+                    pr, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                    iters_first=lb.iters_first, iters_second=lb.iters_second,
+                )
+                return res, sel
+
+            self._ba_shapes[key] = jax.jit(run)
+        return self._ba_shapes[key](prob, rng)
 
     # --------------------------------------------------------- KF culling
     def cull_keyframes(self, kf: int) -> int:
