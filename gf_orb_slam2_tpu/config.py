@@ -193,6 +193,10 @@ class TrackingConfig:
     enable_reloc: bool = True
     # max consecutive lost frames before hard reset (reference: System.cc:195-209)
     max_lost_frames: int = 150
+    # streaming pipeline depth for track_stereo_pipelined: how many frames
+    # ride in flight before the host fetches results (device-chained state;
+    # higher = more overlap, staler host bookkeeping)
+    pipeline_depth: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

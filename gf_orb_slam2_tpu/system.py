@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,6 +26,54 @@ from gf_orb_slam2_tpu.matching import stereo as stereo_mod
 from gf_orb_slam2_tpu.slammap.store import MapStore
 from gf_orb_slam2_tpu.tracking.frame import Frame
 from gf_orb_slam2_tpu.tracking.tracker import Tracker, TrackState
+
+
+class _PipelineFetcher:
+    """Background thread that device_gets pipelined results: the ~26 ms
+    blocking relay round trip per fetch overlaps the main thread's dispatch
+    and host bookkeeping instead of serializing with them (the GIL releases
+    inside the RPC wait)."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue()
+        self._results = {}
+        self._cv = threading.Condition()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, seq: int, dev_arr):
+        self._q.put((seq, dev_arr))
+
+    def _run(self):
+        import jax as _jax
+
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            seq, dev_arr = item
+            try:
+                buf = np.asarray(_jax.device_get(dev_arr))
+            except Exception as e:  # surface device errors at get()
+                buf = e
+            with self._cv:
+                self._results[seq] = buf
+                self._cv.notify_all()
+
+    def get(self, seq: int) -> np.ndarray:
+        with self._cv:
+            while seq not in self._results:
+                self._cv.wait()
+            buf = self._results.pop(seq)
+        if isinstance(buf, Exception):
+            raise buf
+        return buf
+
+    def stop(self):
+        self._q.put(None)
 
 
 def _to_u8(im) -> np.ndarray:
@@ -50,6 +99,12 @@ class System:
         self.tracker = Tracker(cfg, self.store, n_kp, scales)
         self.mapper = LocalMapper(cfg, self.store, n_kp, scales)
         self.frame_id = 0
+        # streaming pipeline state (track_stereo_pipelined)
+        from collections import deque
+
+        self._inflight = deque()
+        self._pipeline_depth = cfg.tracking.pipeline_depth
+        self._fetcher: Optional[_PipelineFetcher] = None
         # place recognition (vocabulary trained lazily from early keyframes —
         # the reference loads a prebuilt ~140MB DBoW2 file, System.cc:78-84)
         self.voc = None
@@ -79,6 +134,75 @@ class System:
         assert self.cfg.sensor == Sensor.STEREO
         frame = self._build_stereo_frame(im_left, im_right, timestamp)
         return self._track(frame)
+
+    def track_stereo_pipelined(self, im_left, im_right, timestamp: float):
+        """Streaming stereo tracking: submit this frame, return the list of
+        (frame_id, Tcw) results that completed THIS call — normally one,
+        `pipeline_depth` frames behind; empty while the pipeline fills.
+
+        The per-frame dependency chain (pose prediction, last-frame match
+        state) lives on the device (tracker._stream_step_impl), so
+        consecutive frames' programs pipeline; the host only uploads images
+        + the stale local pool and fetches results late. Sustained
+        throughput ≈ device compute instead of round-trip latency. Call
+        `flush_pipeline()` to drain at end of sequence.
+        """
+        assert self.cfg.sensor == Sensor.STEREO
+        tr = self.tracker
+        if not tr.stream_ready():
+            done = self.flush_pipeline()
+            pose = self.track_stereo(im_left, im_right, timestamp)
+            return done + [(self.frame_id - 1, pose)]
+        if tr._chain is None:
+            tr._chain = tr.stream_bootstrap_chain()
+        # complete the oldest in-flight frame FIRST so its bookkeeping (pool
+        # refresh, keyframes) feeds this dispatch with the freshest state
+        done = []
+        while len(self._inflight) >= self._pipeline_depth:
+            done.append(self._complete_one())
+        packed, pool_ids = tr.stream_prepare_upload(self.frame_id)
+        imgs = np.stack([_to_u8(im_left), _to_u8(im_right)])
+        imgs_d, up_d = jax.device_put((imgs, packed))
+        out = self._get_frontend("stereo")(imgs_d)
+        packed_out = tr.stream_dispatch(out, up_d)
+        f = self._make_frame(out, timestamp)
+        if self._fetcher is None:
+            self._fetcher = _PipelineFetcher()
+        self._fetcher.submit(f.frame_id, packed_out)
+        self._inflight.append((f, pool_ids))
+        self.frame_id += 1
+        return done
+
+    def flush_pipeline(self):
+        """Drain in-flight pipelined frames; returns [(frame_id, Tcw), ...]."""
+        done = []
+        while self._inflight:
+            done.append(self._complete_one())
+        self.tracker._chain = None
+        return done
+
+    def _complete_one(self):
+        frame, pool_ids = self._inflight.popleft()
+        raw = self._fetcher.get(frame.frame_id)
+        st = self.tracker.stream_complete(frame, raw, pool_ids)
+        rt = getattr(self, "_rt_stream", None)
+        if rt is not None and frame.R is not None:
+            from gf_orb_slam2_tpu.io.trajectory import _pose_to_twc, _quat_wxyz
+
+            Rwc, twc = _pose_to_twc(frame.pose_matrix())
+            q = _quat_wxyz(Rwc)
+            rt.write(f"{frame.timestamp:.6f} {twc[0]:.7f} {twc[1]:.7f} "
+                     f"{twc[2]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f} "
+                     f"{q[0]:.7f}\n")
+            rt.flush()
+        if st.created_kf and not self.cfg.localization_only:
+            kf = self.tracker.ref_kf
+            self.mapper.process_keyframe(kf)
+            if self.cfg.loop.enabled:
+                self._ensure_place_recognition()
+                if self.loop_closer is not None:
+                    self.loop_closer.process_keyframe(kf)
+        return (frame.frame_id, frame.pose_matrix())
 
     def track_rgbd(self, im, depth_map, timestamp: float) -> np.ndarray:
         """Reference: System::TrackRGBD (System.cc:214)."""
@@ -373,7 +497,12 @@ class System:
         self.mapper.recent_points.clear()
 
     def shutdown(self):
-        pass  # no threads to join; parity no-op (System.cc:382)
+        """Drain the streaming pipeline and stop its fetcher thread
+        (reference: System::Shutdown System.cc:382 joins its threads)."""
+        self.flush_pipeline()
+        if self._fetcher is not None:
+            self._fetcher.stop()
+            self._fetcher = None
 
     # ----------------------------------------------------------- map io
     def save_map(self, path):

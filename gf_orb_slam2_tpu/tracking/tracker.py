@@ -37,6 +37,7 @@ from gf_orb_slam2_tpu.optim import pose_opt
 from gf_orb_slam2_tpu.slammap.store import MapStore
 from gf_orb_slam2_tpu.tracking import projection
 from gf_orb_slam2_tpu.tracking.frame import Frame
+from gf_orb_slam2_tpu.utils import precision
 
 
 class TrackState(enum.Enum):
@@ -127,6 +128,29 @@ class Tracker:
             ("R", (3, 3), "f32"), ("t", (3,), "f32"),
             ("n_inliers", (), "i32"), ("n_vis", (), "i32"),
         ])
+        # streaming pipeline: per-frame upload carries ONLY the (stale) local
+        # pool — pose prediction and last-frame match state chain across
+        # frames as device arrays (no host round trip in the dependency path)
+        self._stream_up_layout = Layout([
+            ("loc_pos", (L, 3), "f32"), ("loc_normal", (L, 3), "f32"),
+            ("loc_mind", (L,), "f32"), ("loc_maxd", (L,), "f32"),
+            ("loc_desc", (L, 8), "u32"), ("loc_valid", (L,), "bool"),
+            ("loc_life", (L,), "f32"), ("loc_ids", (L,), "i32"),
+            ("radius", (), "f32"), ("extra", (), "f32"), ("seed", (), "i32"),
+        ])
+        self._stream_out_layout = Layout([
+            ("uv", (N, 2), "f32"), ("octave", (N,), "i32"),
+            ("angle", (N,), "f32"), ("desc", (N, 8), "u32"),
+            ("response", (N,), "f32"), ("valid", (N,), "bool"),
+            ("u_right", (N,), "f32"), ("depth", (N,), "f32"),
+            ("kp_row_m", (N,), "i32"), ("m_inl", (N,), "bool"),
+            ("kp_row_l", (N,), "i32"),
+            ("mp", (N,), "i32"), ("mp_extra", (N,), "i32"),
+            ("R", (3, 3), "f32"), ("t", (3,), "f32"),
+            ("n_inliers", (), "i32"), ("n_vis", (), "i32"),
+        ])
+        self._jit_stream = jax.jit(self._stream_step_impl)
+        self._chain = None  # device-resident chained tracking state
         self._cached_pool = None  # (ids, device loc arrays) for the fused path
         self._last_reloc_frame = -10**9
         self.kfdb = None  # set by System once place recognition is up
@@ -372,6 +396,86 @@ class Tracker:
             R=res_l.R, t=res_l.t, n_inliers=res_l.n_inliers, n_vis=n_vis,
         ))
 
+    def _stream_step_impl(self, upload, uv, octv, ang, desc, resp, val, ur,
+                          dep, chain):
+        """Streaming tracking step: the pose prediction AND the previous
+        frame's match state arrive as device arrays chained from the previous
+        step — the host never sits in the frame-to-frame dependency path, so
+        steps for consecutive frames pipeline on the device while the host
+        fetches results a few frames behind.
+
+        TPU-native replacement for the reference's tracking-thread pipeline
+        (Tracking::Track per frame + thread_Predict overlap, Tracking.cc:594,
+        868-873): instead of overlapping host threads, the recurrent state
+        (pose, velocity, matched-landmark set) stays device-resident.
+        """
+        u = self._stream_up_layout.unpack_jnp(upload)
+        R1, t1 = chain["R1"], chain["t1"]      # pose of frame N-1
+        R2, t2 = chain["R2"], chain["t2"]      # pose of frame N-2
+        # constant-velocity prediction on device: V = T1·T2⁻¹, Tpred = V·T1
+        # (mirrors Tracker._predict_pose / _update_velocity)
+        Rv = precision.matmul(R1, R2.T)
+        tv = t1 - precision.matmul(Rv, t2)
+        R0 = precision.matmul(Rv, R1)
+        t0 = precision.matmul(Rv, t1) + tv
+        res_m, kp_row_m, res_l, kp_row_l, kp_row_add, n_vis = \
+            self._fused_track_impl(
+                R0, t0, R1, t1,
+                chain["pt_pos"], chain["pt_oct"], chain["pt_valid"],
+                chain["pt_desc"],
+                u["loc_pos"], u["loc_normal"], u["loc_mind"], u["loc_maxd"],
+                u["loc_desc"], u["loc_valid"], u["loc_life"],
+                uv, octv, ur, val, desc, u["radius"], u["extra"], u["seed"],
+            )
+        n = self.n_kp
+        BIG = jnp.int32(np.iinfo(np.int32).max)
+        # association combine ON DEVICE (mirrors the host _track_fused):
+        # motion matches claim first, local-map matches fill the rest,
+        # id-level dedup via sorted membership, BA-style outlier clearing
+        ids_m = jnp.where((kp_row_m >= 0) & res_m.inliers,
+                          chain["pt_ids"][jnp.maximum(kp_row_m, 0)], -1)
+        loc_g = jnp.where(kp_row_l >= 0,
+                          u["loc_ids"][jnp.maximum(kp_row_l, 0)], -1)
+        claimed = jnp.sort(jnp.where(ids_m >= 0, ids_m, BIG))
+        j = jnp.clip(jnp.searchsorted(claimed, loc_g), 0, n - 1)
+        dup = claimed[j] == loc_g
+        fill = (ids_m < 0) & (loc_g >= 0) & ~dup
+        mp = jnp.where(fill, loc_g, ids_m)
+        mp = jnp.where((mp >= 0) & ~res_l.inliers, -1, mp)
+        # leftover-candidate matches (SearchAdditionalMatchesInFrame): they
+        # enrich the NEXT frame's motion model only, so they enter the chain
+        # here but reach the host separately (merged post-KF-policy there)
+        add_g = jnp.where(kp_row_add >= 0,
+                          u["loc_ids"][jnp.maximum(kp_row_add, 0)], -1)
+        claimed2 = jnp.sort(jnp.where(mp >= 0, mp, BIG))
+        j2 = jnp.clip(jnp.searchsorted(claimed2, add_g), 0, n - 1)
+        dup2 = claimed2[j2] == add_g
+        use_a = (mp < 0) & (add_g >= 0) & ~dup2
+        mp_chain = jnp.where(use_a, add_g, mp)
+        pos_m = chain["pt_pos"][jnp.maximum(kp_row_m, 0)]
+        desc_m = chain["pt_desc"][jnp.maximum(kp_row_m, 0)]
+        pos_l = u["loc_pos"][jnp.maximum(kp_row_l, 0)]
+        desc_l = u["loc_desc"][jnp.maximum(kp_row_l, 0)]
+        pos_a = u["loc_pos"][jnp.maximum(kp_row_add, 0)]
+        desc_a = u["loc_desc"][jnp.maximum(kp_row_add, 0)]
+        pos_c = jnp.where(use_a[:, None], pos_a,
+                          jnp.where(fill[:, None], pos_l, pos_m))
+        desc_c = jnp.where(use_a[:, None], desc_a,
+                           jnp.where(fill[:, None], desc_l, desc_m))
+        next_chain = dict(
+            R1=res_l.R, t1=res_l.t, R2=R1, t2=t1,
+            pt_pos=pos_c, pt_oct=octv, pt_valid=mp_chain >= 0,
+            pt_desc=desc_c, pt_ids=mp_chain,
+        )
+        packed = self._stream_out_layout.pack_jnp(dict(
+            uv=uv, octave=octv, angle=ang, desc=desc, response=resp,
+            valid=val, u_right=ur, depth=dep,
+            kp_row_m=kp_row_m, m_inl=res_m.inliers, kp_row_l=kp_row_l,
+            mp=mp, mp_extra=jnp.where(use_a, add_g, -1),
+            R=res_l.R, t=res_l.t, n_inliers=res_l.n_inliers, n_vis=n_vis,
+        ))
+        return packed, next_chain
+
     # ================================================== host orchestration
     def _frame_dev(self, frame: Frame):
         """Per-frame device arrays, converted once (the kp set is used by
@@ -613,6 +717,123 @@ class Tracker:
         return self.fused_dispatch_uploaded(
             (kp_uv, kp_oct, kp_ang, kp_desc, zeros, kp_val, kp_ur, zeros),
             up_d, meta)
+
+    # ---------------------------------------------------- streaming pipeline
+    def stream_ready(self) -> bool:
+        """Streaming needs an OK track, a velocity estimate and a pool."""
+        return (self.state == TrackState.OK and self.velocity is not None
+                and self._cached_pool is not None
+                and self.last_frame is not None
+                and self.last_frame.uv is not None)
+
+    def stream_prepare_upload(self, frame_id: int):
+        """Packed per-frame upload for the streaming step: the (stale) local
+        pool + its global ids + search scalars. Returns (packed, pool_ids)."""
+        pool_ids, loc_np = self._cached_pool
+        L = self.cfg.capacity.max_local_points
+        ids_pad = np.full(L, -1, np.int32)
+        ids_pad[: pool_ids.size] = pool_ids
+        radius = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
+        packed = self._stream_up_layout.pack_np(dict(
+            loc_pos=loc_np[0], loc_normal=loc_np[1], loc_mind=loc_np[2],
+            loc_maxd=loc_np[3], loc_desc=loc_np[4], loc_valid=loc_np[5],
+            loc_life=loc_np[6], loc_ids=ids_pad,
+            radius=np.float32(radius), extra=np.float32(1.0),
+            seed=np.int32(frame_id),
+        ))
+        return packed, pool_ids
+
+    def stream_bootstrap_chain(self):
+        """Build the initial device-resident chain state from the last
+        synchronously tracked frame (one device_put; afterwards the chain
+        never touches the host)."""
+        lf = self.last_frame
+        s = self.store
+        ids = s.resolve_replaced(lf.mp_ids)
+        rows = ids >= 0
+        pt_pos = np.zeros((self.n_kp, 3), np.float32)
+        pt_desc = np.zeros((self.n_kp, 8), np.uint32)
+        pt_pos[rows] = s.point_pos[ids[rows]]
+        pt_desc[rows] = s.point_desc[ids[rows]]
+        T1 = lf.pose_matrix()
+        V = self.velocity
+        Vinv = np.eye(4, dtype=np.float32)
+        Vinv[:3, :3] = V[:3, :3].T
+        Vinv[:3, 3] = -V[:3, :3].T @ V[:3, 3]
+        T2 = (Vinv @ T1).astype(np.float32)
+        return jax.device_put(dict(
+            R1=T1[:3, :3].astype(np.float32), t1=T1[:3, 3].astype(np.float32),
+            R2=T2[:3, :3], t2=T2[:3, 3],
+            pt_pos=pt_pos, pt_oct=lf.octave.astype(np.int32),
+            pt_valid=rows, pt_desc=pt_desc,
+            pt_ids=np.where(rows, ids, -1).astype(np.int32),
+        ))
+
+    def stream_dispatch(self, frontend_out, upload_dev):
+        """Dispatch one streaming step; advances the device-resident chain."""
+        uv, octv, ang, desc, resp, val, ur, dep = frontend_out
+        packed_out, chain = self._jit_stream(
+            upload_dev, uv, octv, ang, desc, resp, val, ur, dep, self._chain)
+        self._chain = chain
+        return packed_out
+
+    def stream_complete(self, frame: Frame, raw: np.ndarray,
+                        pool_ids) -> TrackStats:
+        """Host bookkeeping for a pipelined frame given its fetched packed
+        result buffer (the counterpart of _track_fused's post-fetch section
+        plus process_frame's OK branch)."""
+        s = self.store
+        st = TrackStats(frame_id=frame.frame_id)
+        d = self._stream_out_layout.unpack_np(raw)
+        if frame.uv is None:
+            frame.fill_host((d["uv"], d["octave"], d["angle"], d["desc"],
+                             d["response"], d["valid"], d["u_right"],
+                             d["depth"]))
+        # device-side ids can be stale (points replaced/culled since the pool
+        # shipped): re-resolve and drop dead ids
+        mp = s.resolve_replaced(d["mp"])
+        alive = (mp >= 0) & s.point_valid[np.maximum(mp, 0)]
+        frame.mp_ids = np.where(alive, mp, -1).astype(np.int32)
+        frame.is_outlier = np.zeros(self.n_kp, bool)
+        frame.R = d["R"]
+        frame.t = d["t"]
+        st.n_motion_matches = int((d["kp_row_m"] >= 0).sum())
+        st.n_local_points = int(pool_ids.size)
+        st.n_local_matches = int((d["kp_row_l"] >= 0).sum())
+        tracked = frame.mp_ids[frame.mp_ids >= 0]
+        s.point_found[tracked] += 1
+        s.point_visible[pool_ids] += 1
+        n_inl = int(d["n_inliers"])
+        recently_reloc = (
+            frame.frame_id - self._last_reloc_frame
+            < self.cfg.tracking.max_frames_between_kf
+        )
+        thr = (self.cfg.tracking.min_inliers_after_reloc if recently_reloc
+               else self.cfg.tracking.min_inliers_local_map)
+        ok = n_inl >= thr
+        if ok:
+            self.state = TrackState.OK
+            self.n_lost = 0
+            self._refresh_cached_pool(frame)
+            if self.last_frame is not None:
+                self._update_velocity(frame)
+            if self._need_new_keyframe(frame):
+                self._create_keyframe(frame)
+                st.created_kf = True
+            extra = s.resolve_replaced(d["mp_extra"])
+            extra_alive = (extra >= 0) & s.point_valid[np.maximum(extra, 0)]
+            frame._extra_assign = np.where(extra_alive, extra, -1)
+            self._merge_additional_matches(frame)
+        else:
+            self.state = TrackState.LOST
+            self.n_lost += 1
+            self.velocity = None
+            self._chain = None
+        st.state = self.state.name
+        st.n_features = frame.n_kp
+        st.n_inliers = frame.n_matched
+        self._finish_frame(frame, st)
+        return st
 
     def _track_fused(self, frame: Frame, st: TrackStats,
                      predispatched=None) -> bool:
