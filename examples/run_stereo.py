@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--save-map", default="")
     ap.add_argument("--load-map", default="")
     ap.add_argument("--localization", action="store_true")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="streaming pipelined tracking (device-chained "
+                    "state; best sustained throughput)")
     args = ap.parse_args()
 
     from gf_orb_slam2_tpu.io.dataset import EurocStereo, KittiStereo
@@ -59,11 +62,16 @@ def main():
         if args.max_frames and i >= args.max_frames:
             break
         t0 = time.perf_counter()
-        sys_.track_stereo(left, right, ts)
+        if args.pipelined:
+            sys_.track_stereo_pipelined(left, right, ts)
+        else:
+            sys_.track_stereo(left, right, ts)
         times.append((time.perf_counter() - t0) * 1e3)
         if i % 100 == 0:
             print(f"frame {i}/{len(ds)} state={sys_.state.name} "
                   f"med={np.median(times[10:] or times):.1f}ms", flush=True)
+    if args.pipelined:
+        sys_.flush_pipeline()
 
     sys_.save_trajectory_tum(os.path.join(args.out, "trajectory_tum.txt"))
     sys_.save_keyframe_trajectory_tum(os.path.join(args.out, "kf_trajectory_tum.txt"))

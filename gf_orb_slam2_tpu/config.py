@@ -195,8 +195,16 @@ class TrackingConfig:
     max_lost_frames: int = 150
     # streaming pipeline depth for track_stereo_pipelined: how many frames
     # ride in flight before the host fetches results (device-chained state;
-    # higher = more overlap, staler host bookkeeping)
-    pipeline_depth: int = 2
+    # higher = more overlap and jitter absorption, staler host bookkeeping)
+    pipeline_depth: int = 3
+    # run local mapping + loop closing on a background worker (reference
+    # architecture: LocalMapping and LoopClosing threads, System.cc:113-124);
+    # synchronous track_* calls always settle the map first. Smooths the
+    # worst-case (KF-frame) latency but on a SINGLE shared chip the mapper's
+    # device programs contend with every tracking frame (measured: median
+    # 25.9 -> 33.7 ms/frame, p99 much better) — default off; enable on
+    # multi-chip deployments where mapping runs on its own slice
+    async_mapping: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

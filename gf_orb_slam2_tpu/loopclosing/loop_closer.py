@@ -255,6 +255,7 @@ class LoopCloser:
                     jnp.broadcast_to(s_inv, (pts.size,)), R_inv, t_inv, jnp.asarray(pc)
                 ))
                 s.point_pos[pts] = pw
+                s.mark_dirty(pts)
                 moved_points.update(int(p) for p in pts)
             s.set_kf_pose(k, Rk_np, tk_np / sk)
         s.kf_loop_edges.setdefault(kf, set()).add(loop_kf)
@@ -337,5 +338,6 @@ class LoopCloser:
                 pc = s.point_pos[pts] @ R_old.T + t_old
                 pw = (pc - t_new) @ R_new
                 s.point_pos[pts] = pw
+                s.mark_dirty(pts)
                 moved.update(int(p) for p in pts)
             s.set_kf_pose(k, R_new, t_new)

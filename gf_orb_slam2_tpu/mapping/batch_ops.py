@@ -71,6 +71,7 @@ def refresh_points_batch(store, pts: np.ndarray, level_scales: np.ndarray):
     maxd = (dist * sf).astype(np.float32)
     s.point_max_dist[pts] = maxd
     s.point_min_dist[pts] = maxd / level_scales[-1]
+    s.mark_dirty(pts)
 
 
 def redundant_keyframes(store, candidates, min_better: int = 3,

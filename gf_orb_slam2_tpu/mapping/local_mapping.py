@@ -68,15 +68,25 @@ class LocalMapper:
         self.stats: List[MappingStats] = []
 
     # ------------------------------------------------------------- pipeline
-    def process_keyframe(self, kf: int) -> MappingStats:
+    def process_keyframe(self, kf: int, skip_ba: bool = False) -> MappingStats:
+        """One keyframe through the mapping stages (reference:
+        LocalMapping::Run LocalMapping.cc:120). Host-side store access inside
+        each stage takes store.lock so this can run on the async mapping
+        worker while tracking continues; device waits release it. `skip_ba`
+        mirrors the reference's BA abort when more KFs are queued
+        (LocalMapping.cc mbAbortBA / CheckNewKeyFrames gate)."""
+        lk = self.store.lock
         st = MappingStats(kf=kf)
-        self._refresh_point_stats(kf)
-        st.n_culled_points = self.cull_recent_points(kf)
+        with lk:
+            self._refresh_point_stats(kf)
+            st.n_culled_points = self.cull_recent_points(kf)
         st.n_new_points = self.create_new_points(kf)
         st.n_fused = self.fuse_neighbors(kf)
-        self.run_local_ba(kf, st)
-        st.n_culled_kfs = self.cull_keyframes(kf)
-        self.update_hash_tables(kf)
+        if not skip_ba:
+            self.run_local_ba(kf, st)
+        with lk:
+            st.n_culled_kfs = self.cull_keyframes(kf)
+            self.update_hash_tables(kf)
         self.stats.append(st)
         return st
 
@@ -181,33 +191,36 @@ class LocalMapper:
         cross-pair duplicate claims are resolved in the host write-back.
         """
         s = self.store
-        neighbors = [int(k) for k in s.covisible_kfs(kf, self.TRI_BATCH)]
-        if self.cfg.sensor != Sensor.MONOCULAR:
-            # baseline check (reference: LocalMapping.cc:410)
-            neighbors = [
-                kn for kn in neighbors
-                if np.linalg.norm(s.kf_center(kf) - s.kf_center(kn))
-                >= self.cfg.camera.baseline
-            ]
-        free_k = (s.kf_point[kf] < 0) & s.kf_kp_valid[kf]
-        if not neighbors or free_k.sum() == 0:
-            return 0
-        B = self.TRI_BATCH
-        kns = (neighbors + [kf] * B)[:B]  # pad with self-pairs (masked below)
-        pair_mask = np.asarray([kn != kf for kn in kns])
-        free_n = np.stack(
-            [(s.kf_point[kn] < 0) & s.kf_kp_valid[kn] & (kn != kf) for kn in kns]
-        )
-        # anchor-KF arrays ride ONCE (vmap in_axes=None) — broadcasting them
-        # to [B,...] before upload shipped B copies over the relay
-        dev_in = jax.device_put((
-            s.kf_R[kf], s.kf_t[kf],
-            s.kf_R[kns], s.kf_t[kns],
-            s.kf_uv[kf], s.kf_octave[kf], s.kf_desc[kf], free_k,
-            s.kf_u_right[kf],
-            s.kf_uv[kns], s.kf_octave[kns], s.kf_desc[kns], free_n,
-            s.kf_u_right[kns],
-        ))
+        with s.lock:
+            neighbors = [int(k) for k in s.covisible_kfs(kf, self.TRI_BATCH)]
+            if self.cfg.sensor != Sensor.MONOCULAR:
+                # baseline check (reference: LocalMapping.cc:410)
+                neighbors = [
+                    kn for kn in neighbors
+                    if np.linalg.norm(s.kf_center(kf) - s.kf_center(kn))
+                    >= self.cfg.camera.baseline
+                ]
+            free_k = (s.kf_point[kf] < 0) & s.kf_kp_valid[kf]
+            if not neighbors or free_k.sum() == 0:
+                return 0
+            B = self.TRI_BATCH
+            kns = (neighbors + [kf] * B)[:B]  # pad w/ self-pairs (masked)
+            pair_mask = np.asarray([kn != kf for kn in kns])
+            free_n = np.stack(
+                [(s.kf_point[kn] < 0) & s.kf_kp_valid[kn] & (kn != kf)
+                 for kn in kns]
+            )
+            # anchor-KF arrays ride ONCE (vmap in_axes=None) — broadcasting
+            # them to [B,...] before upload shipped B copies over the relay
+            host_in = (
+                s.kf_R[kf], s.kf_t[kf],
+                s.kf_R[kns], s.kf_t[kns],
+                s.kf_uv[kf], s.kf_octave[kf], s.kf_desc[kf], free_k,
+                s.kf_u_right[kf],
+                s.kf_uv[kns], s.kf_octave[kns], s.kf_desc[kns], free_n,
+                s.kf_u_right[kns],
+            )
+        dev_in = jax.device_put(host_in)
         if not hasattr(self, "_jit_triangulate_batch"):
             self._jit_triangulate_batch = jax.jit(jax.vmap(
                 self._triangulate_pair_impl,
@@ -217,30 +230,33 @@ class LocalMapper:
         Xw_b, idx2_b, ok_b = jax.device_get(self._jit_triangulate_batch(*dev_in))
         created = 0
         new_ids: List[int] = []
-        for b in range(B):
-            if not pair_mask[b]:
-                continue
-            kn = kns[b]
-            for i1 in np.nonzero(ok_b[b])[0]:
-                if s.kf_point[kf, i1] >= 0:
-                    continue  # claimed by an earlier pair this round
-                i2 = int(idx2_b[b, i1])
-                if s.kf_point[kn, i2] >= 0:
+        with s.lock:
+            for b in range(B):
+                if not pair_mask[b]:
                     continue
-                p = s.add_point(Xw_b[b, i1], s.kf_desc[kf, i1], first_kf=kf)
-                s.add_observation(p, kf, int(i1))
-                s.add_observation(p, kn, i2)
-                self.recent_points.append((p, kf))
-                new_ids.append(p)
-                created += 1
-        if created:
-            # one batched descriptor+normal/depth refresh for all new points
-            # (reference: ComputeDistinctiveDescriptors + UpdateNormalAndDepth
-            # per point, LocalMapping.cc:370)
-            from gf_orb_slam2_tpu.mapping.batch_ops import refresh_points_batch
+                kn = kns[b]
+                for i1 in np.nonzero(ok_b[b])[0]:
+                    if s.kf_point[kf, i1] >= 0:
+                        continue  # claimed by an earlier pair this round
+                    i2 = int(idx2_b[b, i1])
+                    if s.kf_point[kn, i2] >= 0:
+                        continue
+                    p = s.add_point(Xw_b[b, i1], s.kf_desc[kf, i1], first_kf=kf)
+                    s.add_observation(p, kf, int(i1))
+                    s.add_observation(p, kn, i2)
+                    self.recent_points.append((p, kf))
+                    new_ids.append(p)
+                    created += 1
+            if created:
+                # one batched descriptor+normal/depth refresh for all new
+                # points (reference: ComputeDistinctiveDescriptors +
+                # UpdateNormalAndDepth per point, LocalMapping.cc:370)
+                from gf_orb_slam2_tpu.mapping.batch_ops import (
+                    refresh_points_batch,
+                )
 
-            refresh_points_batch(s, np.asarray(new_ids), self.level_scales)
-            s.update_connections(kf)
+                refresh_points_batch(s, np.asarray(new_ids), self.level_scales)
+                s.update_connections(kf)
         return created
 
     # ------------------------------------------------------------- fusion
@@ -274,62 +290,67 @@ class LocalMapper:
         points into neighbors and vice versa; merge duplicates. All pairs run
         as one vmapped device program."""
         s = self.store
-        neighbors = [int(k) for k in s.covisible_kfs(kf, self.FUSE_BATCH // 2)]
-        if not neighbors:
-            return 0
-        pairs = [(kf, kn) for kn in neighbors] + [(kn, kf) for kn in neighbors]
-        B = self.FUSE_BATCH
-        pairs = pairs[:B]
-        P = self.n_kp
-        pt_pos_b = np.zeros((B, P, 3), np.float32)
-        pt_desc_b = np.zeros((B, P, 8), np.uint32)
-        pt_valid_b = np.zeros((B, P), bool)
-        dst_list = []
-        pts_list = []
-        for bi, (src, dst) in enumerate(pairs):
-            pts = s.kf_point[src]
-            pts = np.unique(pts[pts >= 0])
-            pts = pts[s.point_valid[pts]][:P]
-            pts_list.append(pts)
-            dst_list.append(dst)
-            if pts.size:
-                pt_pos_b[bi, : pts.size] = s.point_pos[pts]
-                pt_desc_b[bi, : pts.size] = s.point_desc[pts]
-                pt_valid_b[bi, : pts.size] = True
-        n_pairs = len(pairs)
-        if n_pairs < B:  # pad with masked dummies against kf itself
-            dst_list += [kf] * (B - n_pairs)
-        dsts = np.asarray(dst_list, int)
-        dev_in = jax.device_put((
-            s.kf_R[dsts], s.kf_t[dsts], pt_pos_b,
-            np.zeros((B, P), np.int32), pt_valid_b, pt_desc_b,
-            s.kf_uv[dsts], s.kf_octave[dsts], s.kf_kp_valid[dsts],
-            s.kf_desc[dsts],
-        ))
+        with s.lock:
+            neighbors = [int(k)
+                         for k in s.covisible_kfs(kf, self.FUSE_BATCH // 2)]
+            if not neighbors:
+                return 0
+            pairs = ([(kf, kn) for kn in neighbors]
+                     + [(kn, kf) for kn in neighbors])
+            B = self.FUSE_BATCH
+            pairs = pairs[:B]
+            P = self.n_kp
+            pt_pos_b = np.zeros((B, P, 3), np.float32)
+            pt_desc_b = np.zeros((B, P, 8), np.uint32)
+            pt_valid_b = np.zeros((B, P), bool)
+            dst_list = []
+            pts_list = []
+            for bi, (src, dst) in enumerate(pairs):
+                pts = s.kf_point[src]
+                pts = np.unique(pts[pts >= 0])
+                pts = pts[s.point_valid[pts]][:P]
+                pts_list.append(pts)
+                dst_list.append(dst)
+                if pts.size:
+                    pt_pos_b[bi, : pts.size] = s.point_pos[pts]
+                    pt_desc_b[bi, : pts.size] = s.point_desc[pts]
+                    pt_valid_b[bi, : pts.size] = True
+            n_pairs = len(pairs)
+            if n_pairs < B:  # pad with masked dummies against kf itself
+                dst_list += [kf] * (B - n_pairs)
+            dsts = np.asarray(dst_list, int)
+            host_in = (
+                s.kf_R[dsts], s.kf_t[dsts], pt_pos_b,
+                np.zeros((B, P), np.int32), pt_valid_b, pt_desc_b,
+                s.kf_uv[dsts], s.kf_octave[dsts], s.kf_kp_valid[dsts],
+                s.kf_desc[dsts],
+            )
+        dev_in = jax.device_put(host_in)
         if not hasattr(self, "_jit_fuse_batch"):
             self._jit_fuse_batch = jax.jit(jax.vmap(self._fuse_impl))
         idx_b, ok_b = jax.device_get(self._jit_fuse_batch(*dev_in))
         fused = 0
-        for bi in range(n_pairs):
-            pts = pts_list[bi]
-            dst = dst_list[bi]
-            for r in np.nonzero(ok_b[bi])[0]:
-                p = int(pts[r]) if r < pts.size else -1
-                if p < 0 or not s.point_valid[p]:
-                    continue
-                j = int(idx_b[bi, r])
-                q = int(s.kf_point[dst, j])
-                if q >= 0 and s.point_valid[q]:
-                    if q != p:
-                        # keep the more-observed point (reference Fuse)
-                        if s.point_nobs[p] >= s.point_nobs[q]:
-                            s.replace_point(q, p)
-                        else:
-                            s.replace_point(p, q)
-                        fused += 1
-                else:
-                    s.add_observation(p, dst, j)
-        s.update_connections(kf)
+        with s.lock:
+            for bi in range(n_pairs):
+                pts = pts_list[bi]
+                dst = dst_list[bi]
+                for r in np.nonzero(ok_b[bi])[0]:
+                    p = int(pts[r]) if r < pts.size else -1
+                    if p < 0 or not s.point_valid[p]:
+                        continue
+                    j = int(idx_b[bi, r])
+                    q = int(s.kf_point[dst, j])
+                    if q >= 0 and s.point_valid[q]:
+                        if q != p:
+                            # keep the more-observed point (reference Fuse)
+                            if s.point_nobs[p] >= s.point_nobs[q]:
+                                s.replace_point(q, p)
+                            else:
+                                s.replace_point(p, q)
+                            fused += 1
+                    else:
+                        s.add_observation(p, dst, j)
+            s.update_connections(kf)
         return fused
 
     # ------------------------------------------------------------ local BA
@@ -342,6 +363,10 @@ class LocalMapper:
         (good-graph subgraph selection, selection/good_graph.py).
         """
         s = self.store
+        # host assembly + dispatch run under the map lock; the lock is
+        # RELEASED while the device solves (the blocking device_get below),
+        # so async-mode tracking keeps its store access during the solve
+        s.lock.acquire()
         K_CAP = min(max(self.cfg.good_graph.max_pool, 8), 24)
         O_CAP = 12
         window = [kf] + [int(k) for k in s.covisible_kfs(kf, K_CAP - 1)]
@@ -355,6 +380,7 @@ class LocalMapper:
             order = np.argsort(-s.point_nobs[pts], kind="stable")
             pts = pts[order[:P_CAP]]
         if pts.size == 0 or len(window) < 2:
+            s.lock.release()
             return
         # fixed KFs: observe window points but not in window (cap K_CAP)
         obs_kfs = s.obs_kf[pts]
@@ -427,34 +453,43 @@ class LocalMapper:
         cam = self.cfg.camera
         gg = self.cfg.good_graph
         use_gg = gg.enabled and len(window) > gg.kf_thres
+        try:
+            if use_gg:
+                # GOOD GRAPH: reduce the free-KF set to the Max-logDet
+                # subgraph (reference: Find_Subgraph call, Optimizer.cc:1156;
+                # unselected free KFs become fixed — the reduced-list rebuild
+                # of Optimizer.cc:1171-1237 collapses to a mask update here).
+                # Schur + lazier-greedy selection + the BA itself run as ONE
+                # device program: each extra blocking sync costs a ~26 ms
+                # relay round trip (tools/relay_microbench.py).
+                handle = self._run_gg_ba_jit(prob, jax.random.PRNGKey(kf), cam)
+            else:
+                handle = self._run_ba_jit(prob, cam)
+        finally:
+            s.lock.release()
+        # blocking device solve — OUTSIDE the map lock
         if use_gg:
-            # GOOD GRAPH: reduce the free-KF set to the Max-logDet subgraph
-            # (reference: Find_Subgraph call, Optimizer.cc:1156; unselected
-            # free KFs become fixed — the reduced-list rebuild of
-            # Optimizer.cc:1171-1237 collapses to a mask update here).
-            # Schur + lazier-greedy selection + the BA itself run as ONE
-            # device program: each extra blocking sync costs a ~26 ms relay
-            # round trip (tools/relay_microbench.py).
-            res, sel = self._run_gg_ba_jit(prob, jax.random.PRNGKey(kf), cam)
-            res, sel_np = jax.device_get((res, sel))
+            res, sel_np = jax.device_get(handle)
             fixed_mask = fixed_mask | (~sel_np & ~fixed_mask & kf_valid)
             st.ba_kfs = int((~fixed_mask & kf_valid).sum())
         else:
-            res = self._run_ba_jit(prob, cam)
-            res = jax.device_get(res)
+            res = jax.device_get(handle)
         # ---- write back (one batched transfer)
-        kf_R = np.asarray(res.kf_R)[:K]
-        kf_t = np.asarray(res.kf_t)[:K]
-        for i, k in enumerate(kfs):
-            if not fixed_mask[i]:
-                s.set_kf_pose(k, kf_R[i], kf_t[i])
-        s.point_pos[pts] = np.asarray(res.pt_pos)[:P]
-        # outlier observation removal (reference: Optimizer.cc:1490-1520)
-        inl = np.asarray(res.obs_inlier)[:P]
-        bad_p, bad_o = np.nonzero(obs_valid & ~inl)
-        for pi, o in zip(bad_p, bad_o):
-            ki = obs_kf_arr[pi, o]
-            s.remove_observation(int(pts[pi]), int(kfs[ki]))
+        with s.lock:
+            kf_R = np.asarray(res.kf_R)[:K]
+            kf_t = np.asarray(res.kf_t)[:K]
+            for i, k in enumerate(kfs):
+                if not fixed_mask[i]:
+                    s.set_kf_pose(k, kf_R[i], kf_t[i])
+            live = s.point_valid[pts]  # points culled during the solve stay dead
+            s.point_pos[pts[live]] = np.asarray(res.pt_pos)[:P][live]
+            s.mark_dirty(pts[live])
+            # outlier observation removal (reference: Optimizer.cc:1490-1520)
+            inl = np.asarray(res.obs_inlier)[:P]
+            bad_p, bad_o = np.nonzero(obs_valid & ~inl & live[:, None])
+            for pi, o in zip(bad_p, bad_o):
+                ki = obs_kf_arr[pi, o]
+                s.remove_observation(int(pts[pi]), int(kfs[ki]))
         st.ba_cost = float(res.final_cost)
         if not use_gg:
             st.ba_kfs = len(window)

@@ -108,6 +108,7 @@ def global_bundle_adjustment(
             s.set_kf_pose(int(k), R_np[i], t_np[i])
         optimized.add(int(k))
     s.point_pos[pts] = np.asarray(res.pt_pos)[:P]
+    s.mark_dirty(pts)
     moved = set(int(p) for p in pts)
 
     # spanning-tree propagation for KFs outside the optimized set
@@ -133,4 +134,5 @@ def global_bundle_adjustment(
             continue
         pc = s.point_pos[p_list] @ old_R[k].T + old_t[k]
         s.point_pos[p_list] = (pc - s.kf_t[k]) @ s.kf_R[k]
+        s.mark_dirty(p_list)
         moved.update(int(p) for p in p_list)

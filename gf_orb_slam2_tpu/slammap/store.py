@@ -110,6 +110,13 @@ class MapStore:
         self.kf_point = np.full((K, N), -1, np.int32)
         self.covis = np.zeros((K, K), np.int32)
         self.kf_parent = np.full(K, -1, np.int32)
+        # coarse map lock shared by the tracking thread and the async
+        # mapping/loop worker (reference: Map::mMutexMapUpdate). Host-side
+        # critical sections only — device waits happen OUTSIDE it.
+        import threading
+
+        self.lock = threading.RLock()
+        self.mirror = None  # DeviceMapMirror when the streaming path is live
 
     # ------------------------------------------------------------ keyframes
     def add_keyframe(
@@ -202,7 +209,14 @@ class MapStore:
         self.obs_kf[p] = -1
         self.obs_idx[p] = -1
         self.n_points += 1
+        self.mark_dirty(p)
         return p
+
+    def mark_dirty(self, ids):
+        """Record point-data changes for the device map mirror (if attached;
+        slammap/device_mirror.py)."""
+        if self.mirror is not None:
+            self.mirror.mark(np.atleast_1d(ids))
 
     def add_points_batch(self, pos, desc, first_kf, kf_ids, kp_idx) -> np.ndarray:
         """Vectorized creation of M points each observed by (kf_ids[m], kp_idx[m])."""
@@ -311,6 +325,7 @@ class MapStore:
         d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)  # [M,M]
         med = np.median(d, axis=1)
         self.point_desc[p] = descs[np.argmin(med)]
+        self.mark_dirty(p)
 
     def update_normal_and_depth(self, p: int, level_scales: np.ndarray, ref_octave: Optional[int] = None):
         """Mean viewing direction + scale-invariance range (reference:
@@ -332,6 +347,7 @@ class MapStore:
         n_levels = len(level_scales)
         self.point_max_dist[p] = dist * sf
         self.point_min_dist[p] = self.point_max_dist[p] / level_scales[n_levels - 1]
+        self.mark_dirty(p)
 
     # --------------------------------------------------------- covisibility
     def update_connections(self, k: int):

@@ -29,20 +29,25 @@ from gf_orb_slam2_tpu.tracking.tracker import Tracker, TrackState
 
 
 class _PipelineFetcher:
-    """Background thread that device_gets pipelined results: the ~26 ms
+    """Background threads that device_get pipelined results: the ~26 ms
     blocking relay round trip per fetch overlaps the main thread's dispatch
     and host bookkeeping instead of serializing with them (the GIL releases
-    inside the RPC wait)."""
+    inside the RPC wait). Several workers run CONCURRENT round trips — one
+    worker caps the whole pipeline at ~38 frames/s of fetch pace."""
 
-    def __init__(self):
+    def __init__(self, n_workers: int = 3):
         import queue
         import threading
 
         self._q = queue.Queue()
         self._results = {}
         self._cv = threading.Condition()
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=self._run, daemon=True)
+            for _ in range(n_workers)
+        ]
+        for t in self._threads:
+            t.start()
 
     def submit(self, seq: int, dev_arr):
         self._q.put((seq, dev_arr))
@@ -73,7 +78,61 @@ class _PipelineFetcher:
         return buf
 
     def stop(self):
+        for _ in self._threads:
+            self._q.put(None)
+
+
+class _MappingWorker:
+    """Async local-mapping + loop-closing worker: the TPU-native analogue of
+    the reference's LocalMapping/LoopClosing threads (System.cc:113-124).
+    Keyframes queue here from the pipelined tracker; mapper stages take the
+    store lock for host mutations and release it during device solves, so
+    tracking bookkeeping interleaves. When keyframes pile up, local BA is
+    skipped for the older ones (reference: mbAbortBA)."""
+
+    def __init__(self, system: "System"):
+        import queue
+        import threading
+
+        self.sys = system
+        self._q = queue.Queue()
+        self._error = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, kf: int):
+        self._q.put(kf)
+
+    def _run(self):
+        while True:
+            kf = self._q.get()
+            if kf is None:
+                self._q.task_done()
+                return
+            try:
+                # newer KFs already queued → skip this BA (reference aborts
+                # the running local BA when a KF arrives, LocalMapping mbAbortBA)
+                skip_ba = self._q.qsize() >= 1
+                self.sys.mapper.process_keyframe(kf, skip_ba=skip_ba)
+                if self.sys.cfg.loop.enabled:
+                    self.sys._ensure_place_recognition()
+                    if self.sys.loop_closer is not None:
+                        with self.sys.store.lock:
+                            self.sys.loop_closer.process_keyframe(kf)
+            except Exception as e:  # surfaced at the next wait_idle()
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def wait_idle(self):
+        self._q.join()
+        if self._error is not None:
+            e, self._error = self._error, None
+            raise e
+
+    def stop(self):
         self._q.put(None)
+        self._q.join()
 
 
 def _to_u8(im) -> np.ndarray:
@@ -105,6 +164,7 @@ class System:
         self._inflight = deque()
         self._pipeline_depth = cfg.tracking.pipeline_depth
         self._fetcher: Optional[_PipelineFetcher] = None
+        self._map_worker: Optional[_MappingWorker] = None
         # place recognition (vocabulary trained lazily from early keyframes —
         # the reference loads a prebuilt ~140MB DBoW2 file, System.cc:78-84)
         self.voc = None
@@ -153,6 +213,10 @@ class System:
             done = self.flush_pipeline()
             pose = self.track_stereo(im_left, im_right, timestamp)
             return done + [(self.frame_id - 1, pose)]
+        if self.store.mirror is None:
+            from gf_orb_slam2_tpu.slammap.device_mirror import DeviceMapMirror
+
+            self.store.mirror = DeviceMapMirror(self.store)
         if tr._chain is None:
             tr._chain = tr.stream_bootstrap_chain()
         # complete the oldest in-flight frame FIRST so its bookkeeping (pool
@@ -160,6 +224,9 @@ class System:
         done = []
         while len(self._inflight) >= self._pipeline_depth:
             done.append(self._complete_one())
+        # ship map deltas AFTER completions so points created/adjusted by
+        # their keyframes are device-visible to this dispatch (no-op if clean)
+        self.store.mirror.sync()
         packed, pool_ids = tr.stream_prepare_upload(self.frame_id)
         imgs = np.stack([_to_u8(im_left), _to_u8(im_right)])
         imgs_d, up_d = jax.device_put((imgs, packed))
@@ -174,11 +241,14 @@ class System:
         return done
 
     def flush_pipeline(self):
-        """Drain in-flight pipelined frames; returns [(frame_id, Tcw), ...]."""
+        """Drain in-flight pipelined frames (and any queued mapping work);
+        returns [(frame_id, Tcw), ...]."""
         done = []
         while self._inflight:
             done.append(self._complete_one())
         self.tracker._chain = None
+        if self._map_worker is not None:
+            self._map_worker.wait_idle()
         return done
 
     def _complete_one(self):
@@ -197,11 +267,16 @@ class System:
             rt.flush()
         if st.created_kf and not self.cfg.localization_only:
             kf = self.tracker.ref_kf
-            self.mapper.process_keyframe(kf)
-            if self.cfg.loop.enabled:
-                self._ensure_place_recognition()
-                if self.loop_closer is not None:
-                    self.loop_closer.process_keyframe(kf)
+            if self.cfg.tracking.async_mapping:
+                if self._map_worker is None:
+                    self._map_worker = _MappingWorker(self)
+                self._map_worker.submit(kf)
+            else:
+                self.mapper.process_keyframe(kf)
+                if self.cfg.loop.enabled:
+                    self._ensure_place_recognition()
+                    if self.loop_closer is not None:
+                        self.loop_closer.process_keyframe(kf)
         return (frame.frame_id, frame.pose_matrix())
 
     def track_rgbd(self, im, depth_map, timestamp: float) -> np.ndarray:
@@ -221,6 +296,10 @@ class System:
         return self._track(frame)
 
     def _track(self, frame: Frame) -> np.ndarray:
+        if self._map_worker is not None:
+            # synchronous tracking interleaved with async mapping: settle the
+            # map first (sync path reads the store without fine-grained locks)
+            self._map_worker.wait_idle()
         st = self.tracker.process_frame(frame)
         # hard reset when lost right after init (reference: Tracking.cc:813 —
         # lost with <=5 KFs → System::Reset) or lost far too long
@@ -260,11 +339,12 @@ class System:
             from gf_orb_slam2_tpu.place.vocabulary import Vocabulary
 
             s = self.store
-            descs = []
-            for k in s.valid_kf_ids():
-                d = s.kf_desc[k][s.kf_kp_valid[k]]
-                descs.append(d)
-            data = np.concatenate(descs, 0)
+            with s.lock:  # snapshot descriptors; training runs lock-free
+                descs = []
+                for k in s.valid_kf_ids():
+                    d = s.kf_desc[k][s.kf_kp_valid[k]]
+                    descs.append(d)
+                data = np.concatenate(descs, 0)
             if len(data) < 512:
                 return
             if len(data) > 20000:
@@ -488,6 +568,10 @@ class System:
 
     def reset(self):
         """Reference: System::Reset (System.cc:376) → Tracking::Reset."""
+        if self._map_worker is not None:
+            self._map_worker.wait_idle()
+        self._inflight.clear()
+        self.tracker._chain = None
         self.store.clear()
         self.tracker.state = TrackState.NO_IMAGES_YET
         self.tracker.last_frame = None
@@ -503,6 +587,9 @@ class System:
         if self._fetcher is not None:
             self._fetcher.stop()
             self._fetcher = None
+        if self._map_worker is not None:
+            self._map_worker.stop()
+            self._map_worker = None
 
     # ----------------------------------------------------------- map io
     def save_map(self, path):

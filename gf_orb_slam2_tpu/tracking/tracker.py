@@ -129,13 +129,13 @@ class Tracker:
             ("n_inliers", (), "i32"), ("n_vis", (), "i32"),
         ])
         # streaming pipeline: per-frame upload carries ONLY the (stale) local
-        # pool — pose prediction and last-frame match state chain across
-        # frames as device arrays (no host round trip in the dependency path)
+        # pool INDICES + per-point lifetimes — point data (pos/normal/dists/
+        # desc) is gathered on device from the resident map mirror
+        # (slammap/device_mirror.py); pose prediction and last-frame match
+        # state chain across frames as device arrays (no host round trip in
+        # the dependency path)
         self._stream_up_layout = Layout([
-            ("loc_pos", (L, 3), "f32"), ("loc_normal", (L, 3), "f32"),
-            ("loc_mind", (L,), "f32"), ("loc_maxd", (L,), "f32"),
-            ("loc_desc", (L, 8), "u32"), ("loc_valid", (L,), "bool"),
-            ("loc_life", (L,), "f32"), ("loc_ids", (L,), "i32"),
+            ("pool_ids", (L,), "i32"), ("loc_life", (L,), "f32"),
             ("radius", (), "f32"), ("extra", (), "f32"), ("seed", (), "i32"),
         ])
         self._stream_out_layout = Layout([
@@ -397,12 +397,13 @@ class Tracker:
         ))
 
     def _stream_step_impl(self, upload, uv, octv, ang, desc, resp, val, ur,
-                          dep, chain):
+                          dep, chain, mirror):
         """Streaming tracking step: the pose prediction AND the previous
         frame's match state arrive as device arrays chained from the previous
         step — the host never sits in the frame-to-frame dependency path, so
         steps for consecutive frames pipeline on the device while the host
-        fetches results a few frames behind.
+        fetches results a few frames behind. The candidate pool's point data
+        is gathered from the device-resident map `mirror` by index.
 
         TPU-native replacement for the reference's tracking-thread pipeline
         (Tracking::Track per frame + thread_Predict overlap, Tracking.cc:594,
@@ -410,6 +411,19 @@ class Tracker:
         (pose, velocity, matched-landmark set) stays device-resident.
         """
         u = self._stream_up_layout.unpack_jnp(upload)
+        pool_idx = u["pool_ids"]
+        pool_ok = pool_idx >= 0
+        pool_c = jnp.maximum(pool_idx, 0)
+        u = dict(
+            u,
+            loc_pos=mirror["pos"][pool_c],
+            loc_normal=mirror["normal"][pool_c],
+            loc_mind=mirror["mind"][pool_c],
+            loc_maxd=mirror["maxd"][pool_c],
+            loc_desc=mirror["desc"][pool_c],
+            loc_valid=pool_ok,
+            loc_ids=pool_idx,
+        )
         R1, t1 = chain["R1"], chain["t1"]      # pose of frame N-1
         R2, t2 = chain["R2"], chain["t2"]      # pose of frame N-2
         # constant-velocity prediction on device: V = T1·T2⁻¹, Tpred = V·T1
@@ -728,16 +742,15 @@ class Tracker:
 
     def stream_prepare_upload(self, frame_id: int):
         """Packed per-frame upload for the streaming step: the (stale) local
-        pool + its global ids + search scalars. Returns (packed, pool_ids)."""
+        pool ids + lifetimes + search scalars (point data lives in the device
+        map mirror). Returns (packed, pool_ids)."""
         pool_ids, loc_np = self._cached_pool
         L = self.cfg.capacity.max_local_points
         ids_pad = np.full(L, -1, np.int32)
         ids_pad[: pool_ids.size] = pool_ids
         radius = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
         packed = self._stream_up_layout.pack_np(dict(
-            loc_pos=loc_np[0], loc_normal=loc_np[1], loc_mind=loc_np[2],
-            loc_maxd=loc_np[3], loc_desc=loc_np[4], loc_valid=loc_np[5],
-            loc_life=loc_np[6], loc_ids=ids_pad,
+            pool_ids=ids_pad, loc_life=loc_np[6],
             radius=np.float32(radius), extra=np.float32(1.0),
             seed=np.int32(frame_id),
         ))
@@ -749,12 +762,13 @@ class Tracker:
         never touches the host)."""
         lf = self.last_frame
         s = self.store
-        ids = s.resolve_replaced(lf.mp_ids)
-        rows = ids >= 0
-        pt_pos = np.zeros((self.n_kp, 3), np.float32)
-        pt_desc = np.zeros((self.n_kp, 8), np.uint32)
-        pt_pos[rows] = s.point_pos[ids[rows]]
-        pt_desc[rows] = s.point_desc[ids[rows]]
+        with s.lock:
+            ids = s.resolve_replaced(lf.mp_ids)
+            rows = ids >= 0
+            pt_pos = np.zeros((self.n_kp, 3), np.float32)
+            pt_desc = np.zeros((self.n_kp, 8), np.uint32)
+            pt_pos[rows] = s.point_pos[ids[rows]]
+            pt_desc[rows] = s.point_desc[ids[rows]]
         T1 = lf.pose_matrix()
         V = self.velocity
         Vinv = np.eye(4, dtype=np.float32)
@@ -773,7 +787,8 @@ class Tracker:
         """Dispatch one streaming step; advances the device-resident chain."""
         uv, octv, ang, desc, resp, val, ur, dep = frontend_out
         packed_out, chain = self._jit_stream(
-            upload_dev, uv, octv, ang, desc, resp, val, ur, dep, self._chain)
+            upload_dev, uv, octv, ang, desc, resp, val, ur, dep, self._chain,
+            self.store.mirror.arrays)
         self._chain = chain
         return packed_out
 
@@ -785,6 +800,14 @@ class Tracker:
         s = self.store
         st = TrackStats(frame_id=frame.frame_id)
         d = self._stream_out_layout.unpack_np(raw)
+        s.lock.acquire()  # host bookkeeping races the async mapping worker
+        try:
+            return self._stream_complete_locked(frame, d, pool_ids, st)
+        finally:
+            s.lock.release()
+
+    def _stream_complete_locked(self, frame, d, pool_ids, st) -> TrackStats:
+        s = self.store
         if frame.uv is None:
             frame.fill_host((d["uv"], d["octave"], d["angle"], d["desc"],
                              d["response"], d["valid"], d["u_right"],
