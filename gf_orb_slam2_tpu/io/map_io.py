@@ -52,4 +52,5 @@ def load_map(path, store: MapStore) -> MapStore:
     for name in _SCALARS:
         setattr(store, name, meta[name])
     store.kf_loop_edges = {int(k): set(v) for k, v in meta["loop_edges"].items()}
+    store.rebuild_free_list()
     return store

@@ -35,6 +35,7 @@ class LoopStats:
     n_sim3_inliers: int = 0
     corrected: bool = False
     pg_cost: float = 0.0
+    n_fused: int = 0
 
 
 class LoopCloser:
@@ -49,6 +50,11 @@ class LoopCloser:
         self.fix_scale = cfg.sensor != Sensor.MONOCULAR
         self._match_jit = None
         self.stats: List[LoopStats] = []
+        # detached global BA (reference: LoopClosing.cc:601 spawns a thread;
+        # mbStopGBA aborts it when a new loop arrives)
+        self._gba_thread = None
+        self._gba_abort = False
+        self._fuse_jit = None
 
     # ------------------------------------------------------------- pipeline
     def process_keyframe(self, kf: int) -> LoopStats:
@@ -228,7 +234,7 @@ class LoopCloser:
         old_R = {k: s.kf_R[k].copy() for k in neighborhood}
         old_t = {k: s.kf_t[k].copy() for k in neighborhood}
         corr_s: Dict[int, float] = {}
-        moved_points: Set[int] = set()
+        moved_mask = np.zeros(s.cap.max_map_points, bool)
         for k in neighborhood:
             # relative pose to kf (pre-correction): T_k_kf = T_k ∘ T_kf⁻¹
             R_rel = old_R[k] @ old_R[kf].T
@@ -243,8 +249,7 @@ class LoopCloser:
             Rk_np, tk_np = np.asarray(Rk), np.asarray(tk)
             pts = s.kf_point[k]
             pts = np.unique(pts[pts >= 0])
-            pts = pts[s.point_valid[pts]]
-            pts = np.asarray([p for p in pts if p not in moved_points], int)
+            pts = pts[s.point_valid[pts] & ~moved_mask[pts]]
             if pts.size:
                 pc = s.point_pos[pts] @ old_R[k].T + old_t[k]
                 # X_new = S_new⁻¹(pc): re-anchor through the corrected Sim3
@@ -256,20 +261,143 @@ class LoopCloser:
                 ))
                 s.point_pos[pts] = pw
                 s.mark_dirty(pts)
-                moved_points.update(int(p) for p in pts)
+                moved_mask[pts] = True
             s.set_kf_pose(k, Rk_np, tk_np / sk)
         s.kf_loop_edges.setdefault(kf, set()).add(loop_kf)
         s.kf_loop_edges.setdefault(loop_kf, set()).add(kf)
 
+        # --- project the loop side's points into the corrected neighborhood
+        # and fuse duplicates (reference: SearchAndFuse LoopClosing.cc:609)
+        st.n_fused = self._search_and_fuse(kf, loop_kf, neighborhood)
         # --- essential-graph optimization over all valid KFs
         self._optimize_essential_graph(kf, loop_kf, corr_s, st)
-        # --- full BA (reference runs it in a detached thread,
-        # LoopClosing.cc:601; here it is a bounded synchronous pass)
-        from gf_orb_slam2_tpu.optim.global_ba import global_bundle_adjustment
-
-        global_bundle_adjustment(self.store, self.cfg)
+        # --- full BA in a detached, abortable thread (reference:
+        # LoopClosing.cc:601 RunGlobalBundleAdjustment + mbStopGBA)
+        self._launch_global_ba()
         self.last_loop_kf = kf
         st.corrected = True
+
+    # --------------------------------------------------------- search & fuse
+    def _search_and_fuse(self, kf: int, loop_kf: int,
+                         neighborhood: List[int]) -> int:
+        """Project loop-side map points into each corrected-neighborhood KF
+        and merge duplicates, keeping the LOOP point (reference: SearchAndFuse
+        LoopClosing.cc:609 → ORBmatcher::Fuse Scw variant ORBmatcher.cc:1089,
+        pRep->Replace(pLoopMP)). Batched device program over the mirrors —
+        the upload is KF indices + loop point ids."""
+        s = self.store
+        # loop-side point pool: loop KF + its covisible neighborhood
+        loop_side = [loop_kf] + [int(x) for x in s.covisible_kfs(loop_kf, 10)]
+        pts = np.unique(s.kf_point[loop_side])
+        pts = pts[pts >= 0]
+        pts = pts[s.point_valid[pts]]
+        if pts.size == 0:
+            return 0
+        P = s.n_kp
+        if pts.size > P:
+            order = np.argsort(-s.point_nobs[pts], kind="stable")
+            pts = np.sort(pts[order[:P]])
+        # mirrors must see the corrected poses/positions
+        if s.mirror is None or s.kf_mirror is None:
+            from gf_orb_slam2_tpu.slammap.device_mirror import (
+                DeviceKFMirror, DeviceMapMirror,
+            )
+
+            if s.mirror is None:
+                s.mirror = DeviceMapMirror(s)
+            if s.kf_mirror is None:
+                s.kf_mirror = DeviceKFMirror(s)
+        s.mirror.sync()
+        s.kf_mirror.sync()
+        B = 20
+        dsts = (list(neighborhood) + [kf] * B)[:B]
+        src_ids = np.full((B, P), -1, np.int32)
+        n_dst = min(len(neighborhood), B)
+        src_ids[:n_dst, : pts.size] = pts
+        if self._fuse_jit is None:
+            from gf_orb_slam2_tpu.matching import matcher as _m
+
+            cam = self.cfg.camera
+            scales_dev = jnp.asarray(
+                np.asarray([self.cfg.orb.scale_factor ** i
+                            for i in range(self.cfg.orb.n_levels)], np.float32))
+
+            def fuse_one(dst, ids, kfm, ptm):
+                ok = ids >= 0
+                idc = jnp.maximum(ids, 0)
+                R, t = kfm["R"][dst], kfm["t"][dst]
+                pos = ptm["pos"][idc]
+                pc = lie.transform(R, t, pos)
+                z = jnp.where(jnp.abs(pc[..., 2]) < 1e-8, 1e-8, pc[..., 2])
+                uv = jnp.stack([cam.fx * pc[..., 0] / z + cam.cx,
+                                cam.fy * pc[..., 1] / z + cam.cy], -1)
+                in_img = ((uv[..., 0] >= 0) & (uv[..., 0] < cam.width)
+                          & (uv[..., 1] >= 0) & (uv[..., 1] < cam.height)
+                          & (pc[..., 2] > 0))
+                m = _m.search_by_projection(
+                    uv, jnp.zeros_like(ids), ok & in_img, ptm["desc"][idc],
+                    kfm["uv"][dst], kfm["oct"][dst], kfm["kpv"][dst],
+                    kfm["desc"][dst],
+                    radius=4.0, level_scales=scales_dev, th=_m.TH_LOW,
+                )
+                return m.idx, m.valid
+
+            self._fuse_jit = jax.jit(
+                lambda d, i, kfm, ptm: jax.vmap(
+                    lambda dd, ii: fuse_one(dd, ii, kfm, ptm))(d, i))
+        dev = jax.device_put((np.asarray(dsts, np.int32), src_ids))
+        idx_b, ok_b = jax.device_get(
+            self._fuse_jit(*dev, s.kf_mirror.arrays, s.mirror.arrays))
+        fused = 0
+        for bi in range(n_dst):
+            dst = dsts[bi]
+            rows = np.nonzero(ok_b[bi])[0]
+            for r in rows:
+                p = int(src_ids[bi, r])
+                if p < 0 or not s.point_valid[p]:
+                    continue
+                j = int(idx_b[bi, r])
+                q = int(s.kf_point[dst, j])
+                if q >= 0 and s.point_valid[q]:
+                    if q != p:
+                        s.replace_point(q, p)  # reference keeps the loop point
+                        fused += 1
+                else:
+                    s.add_observation(p, dst, j)
+        for k in neighborhood:
+            s.update_connections(k)
+        return fused
+
+    # ----------------------------------------------------------- global BA
+    def _launch_global_ba(self):
+        """Detached abortable full-map BA (reference: LoopClosing.cc:601)."""
+        import threading
+
+        from gf_orb_slam2_tpu.optim.global_ba import GlobalBARunner
+
+        self.abort_gba()  # a new loop supersedes a running GBA
+        runner = GlobalBARunner(self.store, self.cfg)
+        if not runner.build():
+            return
+        self._gba_abort = False
+
+        def run():
+            if runner.solve(lambda: self._gba_abort):
+                runner.write_back()
+
+        self._gba_thread = threading.Thread(target=run, daemon=True)
+        self._gba_thread.start()
+
+    def abort_gba(self):
+        if self._gba_thread is not None and self._gba_thread.is_alive():
+            self._gba_abort = True
+            self._gba_thread.join()
+        self._gba_thread = None
+
+    def wait_gba(self):
+        if self._gba_thread is not None:
+            self._gba_thread.join()
+            self._gba_thread = None
 
     def _optimize_essential_graph(self, kf: int, loop_kf: int, corr_s, st: LoopStats):
         s = self.store
@@ -325,19 +453,18 @@ class LoopCloser:
         R_np = np.asarray(R_opt)
         t_np = np.asarray(t_opt)
         # transform points with their reference KF's correction
-        moved: Set[int] = set()
+        moved_mask = np.zeros(s.cap.max_map_points, bool)
         for k in kfs:
             k = int(k)
             R_old, t_old = s.kf_R[k].copy(), s.kf_t[k].copy()
             R_new, t_new = R_np[k], t_np[k] / max(s_np[k], 1e-9)
             pts = s.kf_point[k]
             pts = np.unique(pts[pts >= 0])
-            pts = pts[s.point_valid[pts]]
-            pts = np.asarray([p for p in pts if p not in moved], int)
+            pts = pts[s.point_valid[pts] & ~moved_mask[pts]]
             if pts.size:
                 pc = s.point_pos[pts] @ R_old.T + t_old
                 pw = (pc - t_new) @ R_new
                 s.point_pos[pts] = pw
                 s.mark_dirty(pts)
-                moved.update(int(p) for p in pts)
+                moved_mask[pts] = True
             s.set_kf_pose(k, R_new, t_new)

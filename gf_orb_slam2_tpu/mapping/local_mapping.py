@@ -183,14 +183,49 @@ class LocalMapper:
 
     TRI_BATCH = 10  # padded neighbor-pair batch (one device call per KF)
 
+    def _ensure_mirrors(self):
+        """Device-resident map/KF mirrors: mapper programs gather point and
+        keyframe data ON DEVICE by index, so per-KF-event uploads are a few
+        KB of ids/masks instead of MBs of gathered arrays (the relay charges
+        ~0.014 ms/KB plus fixed per-leaf costs)."""
+        s = self.store
+        if s.mirror is None:
+            from gf_orb_slam2_tpu.slammap.device_mirror import DeviceMapMirror
+
+            s.mirror = DeviceMapMirror(s)
+        if s.kf_mirror is None:
+            from gf_orb_slam2_tpu.slammap.device_mirror import DeviceKFMirror
+
+            s.kf_mirror = DeviceKFMirror(s)
+        s.mirror.sync()
+        s.kf_mirror.sync()
+
+    def _triangulate_mirror_impl(self, kf_id, kns, free_k, free_n, kfm):
+        R1, t1 = kfm["R"][kf_id], kfm["t"][kf_id]
+        uv1, oct1 = kfm["uv"][kf_id], kfm["oct"][kf_id]
+        desc1, ur1 = kfm["desc"][kf_id], kfm["ur"][kf_id]
+
+        def pair(kn, fn):
+            return self._triangulate_pair_impl(
+                R1, t1, kfm["R"][kn], kfm["t"][kn],
+                uv1, oct1, desc1, free_k, ur1,
+                kfm["uv"][kn], kfm["oct"][kn], kfm["desc"][kn], fn,
+                kfm["ur"][kn],
+            )
+
+        return jax.vmap(pair)(kns, free_n)
+
     def create_new_points(self, kf: int) -> int:
         """Triangulate new points between kf and its best covisible KFs.
 
         All neighbor pairs run as ONE vmapped device program (a per-pair call
-        costs a full host↔device round-trip on remote-attached TPUs);
-        cross-pair duplicate claims are resolved in the host write-back.
+        costs a full host↔device round-trip on remote-attached TPUs); KF
+        feature data is gathered on device from the KF mirror — the upload is
+        just indices + free masks. Cross-pair duplicate claims are resolved
+        in the host write-back.
         """
         s = self.store
+        self._ensure_mirrors()
         with s.lock:
             neighbors = [int(k) for k in s.covisible_kfs(kf, self.TRI_BATCH)]
             if self.cfg.sensor != Sensor.MONOCULAR:
@@ -210,24 +245,12 @@ class LocalMapper:
                 [(s.kf_point[kn] < 0) & s.kf_kp_valid[kn] & (kn != kf)
                  for kn in kns]
             )
-            # anchor-KF arrays ride ONCE (vmap in_axes=None) — broadcasting
-            # them to [B,...] before upload shipped B copies over the relay
-            host_in = (
-                s.kf_R[kf], s.kf_t[kf],
-                s.kf_R[kns], s.kf_t[kns],
-                s.kf_uv[kf], s.kf_octave[kf], s.kf_desc[kf], free_k,
-                s.kf_u_right[kf],
-                s.kf_uv[kns], s.kf_octave[kns], s.kf_desc[kns], free_n,
-                s.kf_u_right[kns],
-            )
-        dev_in = jax.device_put(host_in)
+        dev_in = jax.device_put(
+            (np.int32(kf), np.asarray(kns, np.int32), free_k, free_n))
         if not hasattr(self, "_jit_triangulate_batch"):
-            self._jit_triangulate_batch = jax.jit(jax.vmap(
-                self._triangulate_pair_impl,
-                in_axes=(None, None, 0, 0, None, None, None, None, None,
-                         0, 0, 0, 0, 0),
-            ))
-        Xw_b, idx2_b, ok_b = jax.device_get(self._jit_triangulate_batch(*dev_in))
+            self._jit_triangulate_batch = jax.jit(self._triangulate_mirror_impl)
+        Xw_b, idx2_b, ok_b = jax.device_get(
+            self._jit_triangulate_batch(*dev_in, s.kf_mirror.arrays))
         created = 0
         new_ids: List[int] = []
         with s.lock:
@@ -235,18 +258,21 @@ class LocalMapper:
                 if not pair_mask[b]:
                     continue
                 kn = kns[b]
-                for i1 in np.nonzero(ok_b[b])[0]:
-                    if s.kf_point[kf, i1] >= 0:
-                        continue  # claimed by an earlier pair this round
-                    i2 = int(idx2_b[b, i1])
-                    if s.kf_point[kn, i2] >= 0:
-                        continue
-                    p = s.add_point(Xw_b[b, i1], s.kf_desc[kf, i1], first_kf=kf)
-                    s.add_observation(p, kf, int(i1))
-                    s.add_observation(p, kn, i2)
-                    self.recent_points.append((p, kf))
-                    new_ids.append(p)
-                    created += 1
+                i1s = np.nonzero(ok_b[b])[0]
+                if i1s.size == 0:
+                    continue
+                i2s = idx2_b[b, i1s].astype(np.int64)
+                # skip slots claimed by an earlier pair this round (or before)
+                keep = (s.kf_point[kf, i1s] < 0) & (s.kf_point[kn, i2s] < 0)
+                i1s, i2s = i1s[keep], i2s[keep]
+                if i1s.size == 0:
+                    continue
+                ids = s.add_points_batch(
+                    Xw_b[b, i1s], s.kf_desc[kf, i1s], kf, kf, i1s)
+                s.add_observations_batch(ids, kn, i2s)
+                self.recent_points.extend((int(p), kf) for p in ids)
+                new_ids.extend(int(p) for p in ids)
+                created += int(i1s.size)
             if created:
                 # one batched descriptor+normal/depth refresh for all new
                 # points (reference: ComputeDistinctiveDescriptors +
@@ -285,11 +311,29 @@ class LocalMapper:
 
     FUSE_BATCH = 20  # padded (src,dst)-pair batch: one device call per KF
 
+    def _fuse_mirror_impl(self, dsts, src_ids, kfm, ptm):
+        """Gather src points from the point mirror and dst keypoints from the
+        KF mirror; project-and-match per pair (vmapped)."""
+
+        def one(dst, ids):
+            ok = ids >= 0
+            idc = jnp.maximum(ids, 0)
+            return self._fuse_impl(
+                kfm["R"][dst], kfm["t"][dst],
+                ptm["pos"][idc], jnp.zeros_like(ids), ok, ptm["desc"][idc],
+                kfm["uv"][dst], kfm["oct"][dst], kfm["kpv"][dst],
+                kfm["desc"][dst],
+            )
+
+        return jax.vmap(one)(dsts, src_ids)
+
     def fuse_neighbors(self, kf: int) -> int:
         """Reference: SearchInNeighbors (LocalMapping.cc:634) — project kf's
         points into neighbors and vice versa; merge duplicates. All pairs run
-        as one vmapped device program."""
+        as one vmapped device program; the upload is point IDS + KF indices
+        (data gathered from the device mirrors)."""
         s = self.store
+        self._ensure_mirrors()
         with s.lock:
             neighbors = [int(k)
                          for k in s.covisible_kfs(kf, self.FUSE_BATCH // 2)]
@@ -300,9 +344,7 @@ class LocalMapper:
             B = self.FUSE_BATCH
             pairs = pairs[:B]
             P = self.n_kp
-            pt_pos_b = np.zeros((B, P, 3), np.float32)
-            pt_desc_b = np.zeros((B, P, 8), np.uint32)
-            pt_valid_b = np.zeros((B, P), bool)
+            src_ids = np.full((B, P), -1, np.int32)
             dst_list = []
             pts_list = []
             for bi, (src, dst) in enumerate(pairs):
@@ -311,24 +353,16 @@ class LocalMapper:
                 pts = pts[s.point_valid[pts]][:P]
                 pts_list.append(pts)
                 dst_list.append(dst)
-                if pts.size:
-                    pt_pos_b[bi, : pts.size] = s.point_pos[pts]
-                    pt_desc_b[bi, : pts.size] = s.point_desc[pts]
-                    pt_valid_b[bi, : pts.size] = True
+                src_ids[bi, : pts.size] = pts
             n_pairs = len(pairs)
             if n_pairs < B:  # pad with masked dummies against kf itself
                 dst_list += [kf] * (B - n_pairs)
-            dsts = np.asarray(dst_list, int)
-            host_in = (
-                s.kf_R[dsts], s.kf_t[dsts], pt_pos_b,
-                np.zeros((B, P), np.int32), pt_valid_b, pt_desc_b,
-                s.kf_uv[dsts], s.kf_octave[dsts], s.kf_kp_valid[dsts],
-                s.kf_desc[dsts],
-            )
-        dev_in = jax.device_put(host_in)
+            dsts = np.asarray(dst_list, np.int32)
+        dev_in = jax.device_put((dsts, src_ids))
         if not hasattr(self, "_jit_fuse_batch"):
-            self._jit_fuse_batch = jax.jit(jax.vmap(self._fuse_impl))
-        idx_b, ok_b = jax.device_get(self._jit_fuse_batch(*dev_in))
+            self._jit_fuse_batch = jax.jit(self._fuse_mirror_impl)
+        idx_b, ok_b = jax.device_get(self._jit_fuse_batch(
+            *dev_in, s.kf_mirror.arrays, s.mirror.arrays))
         fused = 0
         with s.lock:
             for bi in range(n_pairs):
@@ -363,6 +397,7 @@ class LocalMapper:
         (good-graph subgraph selection, selection/good_graph.py).
         """
         s = self.store
+        self._ensure_mirrors()
         # host assembly + dispatch run under the map lock; the lock is
         # RELEASED while the device solves (the blocking device_get below),
         # so async-mode tracking keeps its store access during the solve
@@ -403,23 +438,14 @@ class LocalMapper:
         order = np.argsort(~in_win, axis=1, kind="stable")[:, :O_CAP]
         obs_kf_arr = np.take_along_axis(ki_all, order, 1).astype(np.int32)
         obs_valid = np.take_along_axis(in_win, order, 1)
-        okf_sel = np.maximum(np.take_along_axis(okf_all, order, 1), 0)
         obs_slot = np.take_along_axis(oidx_all, order, 1).astype(np.int32)
-        oidx_sel = np.maximum(obs_slot, 0)
         obs_kf_arr[~obs_valid] = -1
         obs_slot[~obs_valid] = -1
-        obs_uv = s.kf_uv[okf_sel, oidx_sel].astype(np.float32)
-        obs_ur = np.where(obs_valid, s.kf_u_right[okf_sel, oidx_sel],
-                          -1.0).astype(np.float32)
-        obs_inv2 = inv_sig[
-            np.clip(s.kf_octave[okf_sel, oidx_sel], 0, len(inv_sig) - 1)
-        ].astype(np.float32)
-        obs_inv2[~obs_valid] = 1.0
-        obs_uv[~obs_valid] = 0.0
 
-        # pad P to the jit-stable capacity bucket (powers of two) to bound
-        # recompilation counts
-        P_pad = 1 << max(8, int(np.ceil(np.log2(max(P, 1)))))
+        # pad P to a jit-stable bucket — only TWO buckets (1024 and the pool
+        # cap) so steady state never sees a fresh compile mid-sequence
+        P_CAP2 = self.cfg.capacity.max_local_points
+        P_pad = min(1024, P_CAP2) if P <= 1024 else P_CAP2
         K_pad = 2 * K_CAP  # window + fixed
 
         def pad_to(arr, n, fill=0):
@@ -436,24 +462,22 @@ class LocalMapper:
         kf_valid = np.zeros(K_pad, bool)
         kf_valid[:K] = True
 
-        prob = LocalBAProblem(
-            kf_R=jnp.asarray(pad_to(s.kf_R[kfs], K_pad)),
-            kf_t=jnp.asarray(pad_to(s.kf_t[kfs], K_pad)),
-            kf_fixed=jnp.asarray(fixed_mask),
-            kf_valid=jnp.asarray(kf_valid),
-            pt_pos=jnp.asarray(pad_to(s.point_pos[pts], P_pad)),
-            pt_valid=jnp.asarray(pad_to(np.ones(P, bool), P_pad)),
-            obs_kf=jnp.asarray(pad_to(obs_kf_arr, P_pad, -1)),
-            obs_uv=jnp.asarray(pad_to(obs_uv, P_pad)),
-            obs_ur=jnp.asarray(pad_to(obs_ur, P_pad, -1.0)),
-            obs_inv_sigma2=jnp.asarray(pad_to(obs_inv2, P_pad, 1.0)),
-            obs_valid=jnp.asarray(pad_to(obs_valid, P_pad)),
+        # upload = ids + masks only; poses, positions and per-obs uv/ur/octave
+        # are gathered from the device mirrors inside the jitted program
+        upload = (
+            pad_to(np.asarray(kfs, np.int32), K_pad, -1),
+            fixed_mask, kf_valid,
+            pad_to(pts.astype(np.int32), P_pad, -1),
+            pad_to(obs_kf_arr, P_pad, -1),
+            pad_to(obs_slot, P_pad, -1),
+            pad_to(obs_valid, P_pad),
         )
-        prob = jax.device_put(prob)
+        dev_up = jax.device_put(upload)
         cam = self.cfg.camera
         gg = self.cfg.good_graph
         use_gg = gg.enabled and len(window) > gg.kf_thres
         try:
+            mirrors = (s.kf_mirror.arrays, s.mirror.arrays)
             if use_gg:
                 # GOOD GRAPH: reduce the free-KF set to the Max-logDet
                 # subgraph (reference: Find_Subgraph call, Optimizer.cc:1156;
@@ -462,9 +486,10 @@ class LocalMapper:
                 # Schur + lazier-greedy selection + the BA itself run as ONE
                 # device program: each extra blocking sync costs a ~26 ms
                 # relay round trip (tools/relay_microbench.py).
-                handle = self._run_gg_ba_jit(prob, jax.random.PRNGKey(kf), cam)
+                handle = self._run_gg_ba_jit(dev_up, mirrors,
+                                             jax.random.PRNGKey(kf), cam)
             else:
-                handle = self._run_ba_jit(prob, cam)
+                handle = self._run_ba_jit(dev_up, mirrors, cam)
         finally:
             s.lock.release()
         # blocking device solve — OUTSIDE the map lock
@@ -482,8 +507,13 @@ class LocalMapper:
                 if not fixed_mask[i]:
                     s.set_kf_pose(k, kf_R[i], kf_t[i])
             live = s.point_valid[pts]  # points culled during the solve stay dead
-            s.point_pos[pts[live]] = np.asarray(res.pt_pos)[:P][live]
-            s.mark_dirty(pts[live])
+            new_pos = np.asarray(res.pt_pos)[:P][live]
+            # only mirror-sync points that actually moved: converged BA leaves
+            # most positions within noise, and the delta upload rides the
+            # relay's per-byte budget (slammap/device_mirror.py)
+            moved = np.abs(new_pos - s.point_pos[pts[live]]).max(axis=1) > 1e-4
+            s.point_pos[pts[live]] = new_pos
+            s.mark_dirty(pts[live][moved])
             # outlier observation removal (reference: Optimizer.cc:1490-1520)
             inl = np.asarray(res.obs_inlier)[:P]
             bad_p, bad_o = np.nonzero(obs_valid & ~inl & live[:, None])
@@ -495,22 +525,47 @@ class LocalMapper:
             st.ba_kfs = len(window)
         st.ba_points = P
 
-    def _run_ba_jit(self, prob: LocalBAProblem, cam):
-        key = ("ba", prob.pt_pos.shape[0], prob.kf_R.shape[0], prob.obs_kf.shape[1])
+    def _build_problem_on_device(self, up, kfm, ptm) -> LocalBAProblem:
+        """Assemble the LocalBAProblem INSIDE the jitted program: poses,
+        positions and per-observation uv/u_right/octave are gathered from the
+        device mirrors — the host uploads only ids and masks."""
+        kfs_pad, fixed_mask, kf_valid, pts_pad, obs_kf_arr, obs_slot, obs_valid = up
+        kcl = jnp.maximum(kfs_pad, 0)
+        pcl = jnp.maximum(pts_pad, 0)
+        okf_g = kcl[jnp.maximum(obs_kf_arr, 0)]          # [P,O] global KF ids
+        slot = jnp.maximum(obs_slot, 0)
+        inv_sig = 1.0 / self._scales_dev ** 2
+        oct_ = jnp.clip(kfm["oct"][okf_g, slot], 0, len(self.level_scales) - 1)
+        return LocalBAProblem(
+            kf_R=kfm["R"][kcl], kf_t=kfm["t"][kcl],
+            kf_fixed=fixed_mask, kf_valid=kf_valid & (kfs_pad >= 0),
+            pt_pos=ptm["pos"][pcl], pt_valid=pts_pad >= 0,
+            obs_kf=jnp.where(obs_valid, obs_kf_arr, -1),
+            obs_uv=jnp.where(obs_valid[..., None], kfm["uv"][okf_g, slot], 0.0),
+            obs_ur=jnp.where(obs_valid, kfm["ur"][okf_g, slot], -1.0),
+            obs_inv_sigma2=jnp.where(obs_valid, inv_sig[oct_], 1.0),
+            obs_valid=obs_valid,
+        )
+
+    def _run_ba_jit(self, up, mirrors, cam):
+        key = ("ba", up[3].shape[0], up[0].shape[0], up[4].shape[1])
         if key not in self._ba_shapes:
             lb = self.cfg.local_ba
-            self._ba_shapes[key] = jax.jit(
-                lambda pr: local_bundle_adjustment(
+
+            def run(u, kfm, ptm):
+                pr = self._build_problem_on_device(u, kfm, ptm)
+                return local_bundle_adjustment(
                     pr, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
                     iters_first=lb.iters_first, iters_second=lb.iters_second,
                 )
-            )
-        return self._ba_shapes[key](prob)
 
-    def _run_gg_ba_jit(self, prob: LocalBAProblem, rng, cam):
+            self._ba_shapes[key] = jax.jit(run)
+        return self._ba_shapes[key](up, *mirrors)
+
+    def _run_gg_ba_jit(self, up, mirrors, rng, cam):
         """Good-graph selection + local BA fused into one device program
         (one dispatch, one blocking fetch). Returns (ba_result, sel_mask)."""
-        key = ("ggba", prob.pt_pos.shape[0], prob.kf_R.shape[0], prob.obs_kf.shape[1])
+        key = ("ggba", up[3].shape[0], up[0].shape[0], up[4].shape[1])
         if key not in self._ba_shapes:
             from gf_orb_slam2_tpu.optim.local_ba import pose_schur_blocks
             from gf_orb_slam2_tpu.selection.good_graph import select_subgraph
@@ -518,7 +573,8 @@ class LocalMapper:
             lb = self.cfg.local_ba
             gg = self.cfg.good_graph
 
-            def run(pr, k):
+            def run(u, kfm, ptm, k):
+                pr = self._build_problem_on_device(u, kfm, ptm)
                 S = pose_schur_blocks(pr, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
                 free = ~pr.kf_fixed & pr.kf_valid
                 keep = jnp.zeros(pr.kf_R.shape[0], bool).at[0].set(True)
@@ -534,7 +590,7 @@ class LocalMapper:
                 return res, sel
 
             self._ba_shapes[key] = jax.jit(run)
-        return self._ba_shapes[key](prob, rng)
+        return self._ba_shapes[key](up, *mirrors, rng)
 
     # --------------------------------------------------------- KF culling
     def cull_keyframes(self, kf: int) -> int:

@@ -1,14 +1,27 @@
-"""Full-map (global) bundle adjustment.
+"""Full-map (global) bundle adjustment — abortable, all keyframes.
 
 TPU-native replacement for Optimizer::GlobalBundleAdjustemnt /
 BundleAdjustment (reference: src/Optimizer.cc:51/:58) and the post-loop
-RunGlobalBundleAdjustment thread (src/LoopClosing.cc:667): optimize all
-keyframe poses + map points. Reuses the batched Schur-LM machinery of
-optim/local_ba.py with map-scale capacities; KFs beyond the optimization cap
-(and un-optimized points) are propagated through the spanning tree afterwards
-exactly like the reference's re-anchoring pass (LoopClosing.cc:720-780).
+RunGlobalBundleAdjustment thread (src/LoopClosing.cc:601,667-780):
+
+- covers ALL keyframes: when the map exceeds the dense-solve window, the
+  trajectory is chunked into overlapping windows solved sequentially
+  (poses shared with an already-solved window enter fixed — a domain
+  decomposition of the pose graph; the reference solves one huge sparse
+  system instead).
+- abortable between device segments (reference: mbStopGBA checked inside
+  g2o iterations) — `solve(should_abort)` runs each window as short LM
+  segments and bails out between them.
+- snapshot/write-back protocol: `build()` snapshots poses under the store
+  lock; `solve()` runs WITHOUT the lock (tracking/mapping continue);
+  `write_back()` re-takes the lock and re-anchors keyframes created during
+  the solve through the spanning tree and un-optimized points via their
+  reference KF — exactly the reference's post-GBA propagation
+  (LoopClosing.cc:720-780).
 """
 from __future__ import annotations
+
+from typing import Optional
 
 import numpy as np
 
@@ -19,120 +32,234 @@ import jax
 import jax.numpy as jnp
 
 
-def global_bundle_adjustment(
-    store: MapStore, cfg, iters: int = 20, max_kfs: int = 64,
-    max_points: int = 16384, obs_cap: int = 16,
-):
-    """Optimize (up to max_kfs most-connected) KFs + their points in place."""
-    s = store
-    kfs_all = s.valid_kf_ids()
-    if kfs_all.size < 2:
-        return
-    if kfs_all.size > max_kfs:
-        # keep the most-connected KFs; the rest get spanning-tree propagation
-        conn = s.covis[np.ix_(kfs_all, kfs_all)].sum(1)
-        order = np.argsort(-conn, kind="stable")
-        kfs = np.sort(kfs_all[order[:max_kfs]])
-    else:
-        kfs = kfs_all
-    kf_index = {int(k): i for i, k in enumerate(kfs)}
-    K = len(kfs)
-    K_pad = max_kfs
+class GlobalBARunner:
+    def __init__(self, store: MapStore, cfg, iters: int = 20,
+                 window_kfs: int = 96, max_points: int = 24576,
+                 obs_cap: int = 12, segment_iters: int = 5):
+        self.store = store
+        self.cfg = cfg
+        self.iters = iters
+        self.window_kfs = window_kfs
+        self.max_points = max_points
+        self.obs_cap = obs_cap
+        self.segment_iters = segment_iters
+        self.aborted = False
+        self._windows = []  # list of (kfs, pts, prob) built lazily per window
+        self._results = {}  # kf id -> (R, t); point id -> pos kept separately
+        self._pt_results = {}
+        self._old_R = None
+        self._old_t = None
+        self._snap_kfs = None
 
-    pts = np.unique(s.kf_point[kfs])
-    pts = pts[pts >= 0]
-    pts = pts[s.point_valid[pts]]
-    if pts.size > max_points:
-        order = np.argsort(-s.point_nobs[pts], kind="stable")
-        pts = pts[order[:max_points]]
-    P = int(pts.size)
-    if P == 0:
-        return
-    P_pad = 1 << int(np.ceil(np.log2(max(P, 256))))
+    # ------------------------------------------------------------------ build
+    def build(self) -> bool:
+        """Snapshot the map (under store.lock) and partition keyframes into
+        overlapping dense windows."""
+        s = self.store
+        with s.lock:
+            kfs_all = s.valid_kf_ids()
+            if kfs_all.size < 2:
+                return False
+            self._snap_kfs = kfs_all.copy()
+            self._old_R = s.kf_R.copy()
+            self._old_t = s.kf_t.copy()
+            W = self.window_kfs
+            if kfs_all.size <= W:
+                chunks = [kfs_all]
+            else:
+                # overlapping trajectory windows (25% overlap): each window
+                # after the first holds its leading overlap fixed to stitch
+                step = max(1, int(W * 0.75))
+                chunks = [kfs_all[i: i + W]
+                          for i in range(0, kfs_all.size - W // 4, step)]
+            self._windows = [self._build_window(np.asarray(c)) for c in chunks]
+        self._windows = [w for w in self._windows if w is not None]
+        return bool(self._windows)
 
-    obs_kf = np.full((P_pad, obs_cap), -1, np.int32)
-    obs_uv = np.zeros((P_pad, obs_cap, 2), np.float32)
-    obs_ur = np.full((P_pad, obs_cap), -1.0, np.float32)
-    obs_inv2 = np.ones((P_pad, obs_cap), np.float32)
-    obs_valid = np.zeros((P_pad, obs_cap), bool)
-    scale = cfg.orb.scale_factor
-    inv_sig = 1.0 / np.asarray(
-        [scale ** (2 * i) for i in range(cfg.orb.n_levels)], np.float32
-    )
-    for pi, p in enumerate(pts):
-        o = 0
-        for si in range(s.obs_kf.shape[1]):
-            k = s.obs_kf[p, si]
-            if k < 0 or int(k) not in kf_index or o >= obs_cap:
-                continue
-            j = s.obs_idx[p, si]
-            obs_kf[pi, o] = kf_index[int(k)]
-            obs_uv[pi, o] = s.kf_uv[k, j]
-            obs_ur[pi, o] = s.kf_u_right[k, j]
-            obs_inv2[pi, o] = inv_sig[min(s.kf_octave[k, j], len(inv_sig) - 1)]
-            obs_valid[pi, o] = True
-            o += 1
+    def _build_window(self, kfs):
+        s = self.store
+        kf_index = {int(k): i for i, k in enumerate(kfs)}
+        K = len(kfs)
+        K_pad = self.window_kfs
+        pts = np.unique(s.kf_point[kfs])
+        pts = pts[pts >= 0]
+        pts = pts[s.point_valid[pts]]
+        if pts.size > self.max_points:
+            order = np.argsort(-s.point_nobs[pts], kind="stable")
+            pts = np.sort(pts[order[: self.max_points]])
+        P = int(pts.size)
+        if P == 0:
+            return None
+        P_pad = 1 << int(np.ceil(np.log2(max(P, 256))))
+        O = self.obs_cap
+        # vectorized observation packing (global-KF → window-index LUT)
+        lut = np.full(s.cap.max_keyframes, -1, np.int32)
+        lut[kfs] = np.arange(K, dtype=np.int32)
+        okf_all = s.obs_kf[pts]
+        oidx_all = s.obs_idx[pts]
+        ki_all = np.where(okf_all >= 0, lut[np.maximum(okf_all, 0)], -1)
+        in_win = ki_all >= 0
+        order = np.argsort(~in_win, axis=1, kind="stable")[:, :O]
+        obs_kf = np.take_along_axis(ki_all, order, 1).astype(np.int32)
+        obs_valid = np.take_along_axis(in_win, order, 1)
+        okf_sel = np.maximum(np.take_along_axis(okf_all, order, 1), 0)
+        oidx_sel = np.maximum(np.take_along_axis(oidx_all, order, 1), 0)
+        obs_kf[~obs_valid] = -1
+        cfg = self.cfg
+        scale = cfg.orb.scale_factor
+        inv_sig = 1.0 / np.asarray(
+            [scale ** (2 * i) for i in range(cfg.orb.n_levels)], np.float32
+        )
+        obs_uv = s.kf_uv[okf_sel, oidx_sel].astype(np.float32)
+        obs_ur = np.where(obs_valid, s.kf_u_right[okf_sel, oidx_sel],
+                          -1.0).astype(np.float32)
+        obs_inv2 = inv_sig[
+            np.clip(s.kf_octave[okf_sel, oidx_sel], 0, len(inv_sig) - 1)
+        ].astype(np.float32)
+        obs_uv[~obs_valid] = 0.0
+        obs_inv2[~obs_valid] = 1.0
 
-    fixed = np.zeros(K_pad, bool)
-    fixed[kf_index.get(0, 0)] = True  # anchor KF0 (reference fixes id 0)
-    kf_valid = np.zeros(K_pad, bool)
-    kf_valid[:K] = True
-    kf_R = np.tile(np.eye(3, dtype=np.float32), (K_pad, 1, 1))
-    kf_t = np.zeros((K_pad, 3), np.float32)
-    kf_R[:K] = s.kf_R[kfs]
-    kf_t[:K] = s.kf_t[kfs]
-    pt_pos = np.zeros((P_pad, 3), np.float32)
-    pt_pos[:P] = s.point_pos[pts]
-    pt_val = np.zeros(P_pad, bool)
-    pt_val[:P] = True
+        def pad_to(a, n, fill=0):
+            out = np.full((n,) + a.shape[1:], fill, a.dtype)
+            out[: a.shape[0]] = a
+            return out
 
-    prob = LocalBAProblem(
-        kf_R=jnp.asarray(kf_R), kf_t=jnp.asarray(kf_t),
-        kf_fixed=jnp.asarray(fixed), kf_valid=jnp.asarray(kf_valid),
-        pt_pos=jnp.asarray(pt_pos), pt_valid=jnp.asarray(pt_val),
-        obs_kf=jnp.asarray(obs_kf), obs_uv=jnp.asarray(obs_uv),
-        obs_ur=jnp.asarray(obs_ur), obs_inv_sigma2=jnp.asarray(obs_inv2),
-        obs_valid=jnp.asarray(obs_valid),
-    )
-    cam = cfg.camera
-    res = local_bundle_adjustment(
-        prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
-        iters_first=iters // 2, iters_second=iters - iters // 2,
-    )
-    old_R = {int(k): s.kf_R[k].copy() for k in kfs_all}
-    old_t = {int(k): s.kf_t[k].copy() for k in kfs_all}
-    R_np, t_np = np.asarray(res.kf_R), np.asarray(res.kf_t)
-    optimized = set()
-    for i, k in enumerate(kfs):
-        if not fixed[i]:
-            s.set_kf_pose(int(k), R_np[i], t_np[i])
-        optimized.add(int(k))
-    s.point_pos[pts] = np.asarray(res.pt_pos)[:P]
-    s.mark_dirty(pts)
-    moved = set(int(p) for p in pts)
+        fixed = np.zeros(K_pad, bool)
+        if 0 in kf_index:
+            fixed[kf_index[0]] = True  # anchor KF0 (reference fixes id 0)
+        # overlap stitching: KFs already solved by a previous window stay
+        # fixed in this one (handled in solve(): _results membership)
+        kf_valid = np.zeros(K_pad, bool)
+        kf_valid[:K] = True
+        prob = LocalBAProblem(
+            kf_R=jnp.asarray(pad_to(s.kf_R[kfs], K_pad)),
+            kf_t=jnp.asarray(pad_to(s.kf_t[kfs], K_pad)),
+            kf_fixed=jnp.asarray(fixed), kf_valid=jnp.asarray(kf_valid),
+            pt_pos=jnp.asarray(pad_to(s.point_pos[pts], P_pad)),
+            pt_valid=jnp.asarray(pad_to(np.ones(P, bool), P_pad)),
+            obs_kf=jnp.asarray(pad_to(obs_kf, P_pad, -1)),
+            obs_uv=jnp.asarray(pad_to(obs_uv, P_pad)),
+            obs_ur=jnp.asarray(pad_to(obs_ur, P_pad, -1.0)),
+            obs_inv_sigma2=jnp.asarray(pad_to(obs_inv2, P_pad, 1.0)),
+            obs_valid=jnp.asarray(pad_to(obs_valid, P_pad)),
+        )
+        return (kfs, pts, fixed, prob)
 
-    # spanning-tree propagation for KFs outside the optimized set
-    # (reference: LoopClosing.cc:720-780 — child pose = T_child_parent_old ∘
-    # parent_new; un-optimized points re-anchored via their reference KF)
-    for k in kfs_all:
-        k = int(k)
-        if k in optimized:
-            continue
-        parent = int(s.kf_parent[k])
-        if parent < 0 or parent not in optimized:
-            continue
-        T_rel_R = old_R[k] @ old_R[parent].T
-        T_rel_t = old_t[k] - T_rel_R @ old_t[parent]
-        s.set_kf_pose(k, T_rel_R @ s.kf_R[parent], T_rel_R @ s.kf_t[parent] + T_rel_t)
-        optimized.add(k)
-    for k in kfs_all:
-        k = int(k)
-        p_list = s.kf_point[k]
-        p_list = np.unique(p_list[p_list >= 0])
-        p_list = np.asarray([p for p in p_list if s.point_valid[p] and p not in moved], int)
-        if not p_list.size:
-            continue
-        pc = s.point_pos[p_list] @ old_R[k].T + old_t[k]
-        s.point_pos[p_list] = (pc - s.kf_t[k]) @ s.kf_R[k]
-        s.mark_dirty(p_list)
-        moved.update(int(p) for p in p_list)
+    # ------------------------------------------------------------------ solve
+    def solve(self, should_abort: Optional[callable] = None) -> bool:
+        """Run all windows as short LM segments; abort between segments
+        (reference: mbStopGBA). Returns False if aborted."""
+        cam = self.cfg.camera
+        for (kfs, pts, fixed, prob) in self._windows:
+            # freeze poses solved by earlier windows (overlap stitching)
+            if self._results:
+                solved = np.asarray(
+                    [int(k) in self._results for k in kfs], bool)
+                if solved.any():
+                    fx2 = np.array(prob.kf_fixed)
+                    fx2[: len(kfs)] |= solved
+                    R0 = np.array(prob.kf_R)
+                    t0 = np.array(prob.kf_t)
+                    for i, k in enumerate(kfs):
+                        if solved[i]:
+                            R0[i], t0[i] = self._results[int(k)]
+                    prob = prob._replace(
+                        kf_fixed=jnp.asarray(fx2), kf_R=jnp.asarray(R0),
+                        kf_t=jnp.asarray(t0))
+            n_seg = max(1, self.iters // self.segment_iters)
+            res = None
+            for seg in range(n_seg):
+                if should_abort is not None and should_abort():
+                    self.aborted = True
+                    return False
+                first = self.segment_iters if seg == 0 else 0
+                second = 0 if seg == 0 else self.segment_iters
+                res = local_bundle_adjustment(
+                    prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                    iters_first=first, iters_second=second,
+                )
+                prob = prob._replace(kf_R=res.kf_R, kf_t=res.kf_t,
+                                     pt_pos=res.pt_pos)
+            R_np = np.asarray(res.kf_R)
+            t_np = np.asarray(res.kf_t)
+            pt_np = np.asarray(res.pt_pos)
+            for i, k in enumerate(kfs):
+                if not fixed[i] and int(k) not in self._results:
+                    self._results[int(k)] = (R_np[i], t_np[i])
+            for i, p in enumerate(pts):
+                self._pt_results[int(p)] = pt_np[i]
+        return True
+
+    # ------------------------------------------------------------- write back
+    def write_back(self):
+        """Apply results under the store lock; keyframes/points created during
+        the solve are propagated via spanning tree / reference-KF re-anchoring
+        (reference: LoopClosing.cc:720-780)."""
+        s = self.store
+        with s.lock:
+            kfs_now = s.valid_kf_ids()
+            optimized = set()
+            for k in kfs_now:
+                k = int(k)
+                if k in self._results:
+                    R, t = self._results[k]
+                    s.set_kf_pose(k, R, t)
+                    optimized.add(k)
+            # new / unsolved KFs: child = T_child_parent_old ∘ parent_new
+            for k in kfs_now:
+                k = int(k)
+                if k in optimized:
+                    continue
+                parent = int(s.kf_parent[k])
+                hops = 0
+                while parent >= 0 and parent not in optimized and hops < 64:
+                    parent = int(s.kf_parent[parent])
+                    hops += 1
+                if parent < 0 or parent not in optimized:
+                    continue
+                R_rel = s.kf_R[k] @ self._old_R[parent].T
+                t_rel = s.kf_t[k] - R_rel @ self._old_t[parent]
+                s.set_kf_pose(k, R_rel @ s.kf_R[parent],
+                              R_rel @ s.kf_t[parent] + t_rel)
+                optimized.add(k)
+            # points: solved ones take their BA positions; the rest re-anchor
+            # through their first observing KF's pose delta
+            moved = np.zeros(s.cap.max_map_points, bool)
+            solved_ids = np.asarray(
+                [p for p in self._pt_results if s.point_valid[p]], np.int64)
+            if solved_ids.size:
+                s.point_pos[solved_ids] = np.stack(
+                    [self._pt_results[int(p)] for p in solved_ids])
+                s.mark_dirty(solved_ids)
+                moved[solved_ids] = True
+            snap = set(int(k) for k in self._snap_kfs)
+            for k in kfs_now:
+                k = int(k)
+                if k not in snap:
+                    # KF created during the solve: its points were triangulated
+                    # against post-snapshot poses — the old-pose re-anchor
+                    # transform does not apply to them
+                    continue
+                p_list = s.kf_point[k]
+                p_list = np.unique(p_list[p_list >= 0])
+                p_list = p_list[s.point_valid[p_list] & ~moved[p_list]]
+                if not p_list.size:
+                    continue
+                pc = s.point_pos[p_list] @ self._old_R[k].T + self._old_t[k]
+                s.point_pos[p_list] = (pc - s.kf_t[k]) @ s.kf_R[k]
+                s.mark_dirty(p_list)
+                moved[p_list] = True
+            s.big_change_idx += 1
+
+
+def global_bundle_adjustment(store: MapStore, cfg, iters: int = 20,
+                             should_abort=None, **kw):
+    """Synchronous convenience wrapper (tests / small maps): build → solve →
+    write_back. Returns True if it ran to completion."""
+    runner = GlobalBARunner(store, cfg, iters=iters, **kw)
+    if not runner.build():
+        return False
+    if not runner.solve(should_abort):
+        return False
+    runner.write_back()
+    return True

@@ -158,6 +158,20 @@ def local_bundle_adjustment(
         r, J_pose, J_pt, depth = _residuals(prob, kf_R, kf_t, pt_pos, fx, fy, cx, cy, bf)
         c2 = _chi2(r, prob.obs_inv_sigma2, is_stereo)
         e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+        # mid-schedule outlier gate (reference 5-iter → gate → 10-iter),
+        # applied at the START of the following step from this step's
+        # residuals — same pose as gating after step iters_first-1, but no
+        # extra residual pass (two passes per LM step total)
+        gate = step == iters_first
+        gated = base_valid & (c2 <= chi2_th) & (depth > 1e-4)
+        active = jnp.where(gate, gated, active)
+        rho = jnp.where(e <= delta, c2, 2.0 * delta * e - delta * delta)
+        cost = jnp.where(
+            gate,
+            jnp.sum(jnp.where(active & (depth > 1e-4), rho, 0.0)),
+            cost,
+        )
+        lam = jnp.where(gate, 1e-4, lam)
         w_huber = jnp.where(e <= delta, 1.0, delta / e)
         w = prob.obs_inv_sigma2 * w_huber * (active & (depth > 1e-4)).astype(r.dtype)
         # zero out fixed/invalid pose Jacobians
@@ -205,15 +219,6 @@ def local_bundle_adjustment(
         pt_pos = jnp.where(accept, pt_new, pt_pos)
         cost = jnp.where(accept, cost_new, cost)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-7, 1e6)
-        # mid-schedule outlier gate (reference 5-iter → gate → 10-iter),
-        # folded into the single scan so the body compiles once
-        gate = step == iters_first - 1
-        r2, _, _, depth2 = _residuals(prob, kf_R, kf_t, pt_pos, fx, fy, cx, cy, bf)
-        c2g = _chi2(r2, prob.obs_inv_sigma2, is_stereo)
-        gated = base_valid & (c2g <= chi2_th) & (depth2 > 1e-4)
-        active = jnp.where(gate, gated, active)
-        cost = jnp.where(gate, robust_cost(kf_R, kf_t, pt_pos, active), cost)
-        lam = jnp.where(gate, 1e-4, lam)
         return (kf_R, kf_t, pt_pos, active, lam, cost), None
 
     def Hpp_mat(Hpp, lam, damping):

@@ -107,15 +107,27 @@ def pose_optimization(
         """Levenberg-Marquardt with step acceptance (mirrors g2o's LM loop):
         reject cost-increasing steps and raise lambda — plain GN can stall on
         robust-cost plateaus/local basins. The reference's 4-round × 10-iter
-        structure with chi2 re-gating between rounds runs as ONE scan (the
-        gate fires every `iters` steps) so the compiled body exists once —
-        unrolling rounds made this the slowest-compiling program by far."""
+        structure with chi2 re-gating between rounds runs as ONE scan so the
+        compiled body exists once. Exactly TWO residual passes per step: the
+        Jacobian pass at the current pose doubles as the round-boundary
+        re-gate (gating at the start of round k+1 sees the same pose as the
+        reference's gate after round k), and the candidate pass prices the
+        LM step."""
         R, t, inlier, lam, cost = carry
         r, J, depth = _residuals_jacobians(R, t, Xw, uv, u_right, fx, fy, cx, cy, bf)
         c2 = _chi2(r, inv_sigma2, is_stereo)
         e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+        rho = jnp.where(e <= delta, c2, 2.0 * delta * e - delta * delta)
+        # round-boundary chi2 re-gate (reference: between-round outlier gate),
+        # reusing this step's residuals — no extra pass
+        gate = (step % iters == 0) & (step > 0)
+        gated = valid & (c2 <= chi2_th) & (depth > 1e-4)
+        inlier = jnp.where(gate, gated, inlier)
+        active = inlier & (depth > 1e-4)
+        cost = jnp.where(gate, jnp.sum(jnp.where(active, rho, 0.0)), cost)
+        lam = jnp.where(gate, 1e-3, lam)
         w_huber = jnp.where(e <= delta, 1.0, delta / e)
-        w = inv_sigma2 * w_huber * inlier.astype(r.dtype) * (depth > 1e-4)
+        w = inv_sigma2 * w_huber * active.astype(r.dtype)
         H = einsum("n,nri,nrj->ij", w, J, J)
         b = einsum("n,nri,nr->i", w, J, r)
         D = jnp.eye(6, dtype=H.dtype) * (damping + jnp.diag(H))
@@ -128,15 +140,7 @@ def pose_optimization(
         t = jnp.where(accept, t_new, t)
         cost = jnp.where(accept, cost_new, cost)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-6, 1e6)
-        # end-of-round chi2 gate (reference: outlier re-gating between rounds)
-        gate = (step + 1) % iters == 0
-        r2, _, depth2 = _residuals_jacobians(R, t, Xw, uv, u_right, fx, fy, cx, cy, bf)
-        c2g = _chi2(r2, inv_sigma2, is_stereo)
-        gated = valid & (c2g <= chi2_th) & (depth2 > 1e-4)
-        new_inlier = jnp.where(gate, gated, inlier)
-        cost = jnp.where(gate, robust_cost(R, t, new_inlier), cost)
-        lam = jnp.where(gate, 1e-3, lam)
-        return (R, t, new_inlier, lam, cost), None
+        return (R, t, inlier, lam, cost), None
 
     R, t = R0, t0
     inlier = valid

@@ -124,3 +124,136 @@ class DeviceMapMirror:
             desc=padf(host["desc"]),
         ))
         self.arrays = self._jits[D](self.arrays, jax.device_put(buf))
+
+
+# keyframe-row delta buckets (rows per sync)
+_KF_BUCKETS = (1, 4, 16, 64)
+
+
+class DeviceKFMirror:
+    """Device-resident mirror of the keyframe FEATURE arrays (pose, keypoints,
+    descriptors). The mapper's triangulation and fusion programs used to ship
+    ~2-3 MB of gathered KF data over the relay per keyframe event; with the
+    mirror they upload only KF indices + masks and gather on device.
+
+    Two delta granularities: full rows (new keyframes — ~50 KB each) and
+    pose-only updates (local BA / loop corrections — 48 B each). Same
+    snapshot semantics as DeviceMapMirror.
+    """
+
+    FIELDS = ("R", "t", "uv", "oct", "desc", "ur", "kpv")
+
+    def __init__(self, store):
+        self.store = store
+        K, N = store.cap.max_keyframes, store.n_kp
+        self.K, self.N = K, N
+        self.dirty_row = np.zeros(K, bool)
+        self.dirty_pose = np.zeros(K, bool)
+        with store.lock:
+            self.arrays = jax.device_put(dict(
+                R=store.kf_R.copy(), t=store.kf_t.copy(),
+                uv=store.kf_uv.copy(),
+                oct=store.kf_octave.copy(), desc=store.kf_desc.copy(),
+                ur=store.kf_u_right.copy(), kpv=store.kf_kp_valid.copy(),
+            ))
+        self._row_layouts = {}
+        self._row_jits = {}
+        self._pose_jit = None
+
+    def mark_row(self, k):
+        self.dirty_row[k] = True
+
+    def mark_pose(self, k):
+        self.dirty_pose[k] = True
+
+    def _bucket(self, n: int) -> int:
+        for b in _KF_BUCKETS:
+            if n <= b:
+                return b
+        return self.K
+
+    def sync(self):
+        s = self.store
+        with s.lock:
+            rows = np.nonzero(self.dirty_row)[0]
+            poses = np.nonzero(self.dirty_pose & ~self.dirty_row)[0]
+            self.dirty_row[:] = False
+            self.dirty_pose[:] = False
+            if rows.size:
+                self._sync_rows(rows)
+            if poses.size:
+                self._sync_poses(poses)
+
+    def _sync_poses(self, ids):
+        s = self.store
+        if self._pose_jit is None:
+            def upd(arrays, ids, R, t):
+                ok = ids >= 0
+                idc = jnp.maximum(ids, 0)
+                out = dict(arrays)
+                out["R"] = arrays["R"].at[idc].set(
+                    jnp.where(ok[:, None, None], R, arrays["R"][idc]))
+                out["t"] = arrays["t"].at[idc].set(
+                    jnp.where(ok[:, None], t, arrays["t"][idc]))
+                return out
+
+            self._pose_jit = jax.jit(upd)
+        D = self._bucket(ids.size)
+
+        def padf(a, fill=0):
+            out = np.full((D,) + a.shape[1:], fill, a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        dev = jax.device_put((padf(ids.astype(np.int32), -1),
+                              padf(s.kf_R[ids]), padf(s.kf_t[ids])))
+        self.arrays = self._pose_jit(self.arrays, *dev)
+
+    def _sync_rows(self, ids):
+        s = self.store
+        D = self._bucket(ids.size)
+        if D == self.K:
+            self.arrays = jax.device_put(dict(
+                R=s.kf_R.copy(), t=s.kf_t.copy(), uv=s.kf_uv.copy(),
+                oct=s.kf_octave.copy(), desc=s.kf_desc.copy(),
+                ur=s.kf_u_right.copy(), kpv=s.kf_kp_valid.copy(),
+            ))
+            return
+        N = self.N
+        if D not in self._row_layouts:
+            lay = Layout([
+                ("ids", (D,), "i32"), ("R", (D, 3, 3), "f32"),
+                ("t", (D, 3), "f32"), ("uv", (D, N, 2), "f32"),
+                ("oct", (D, N), "i32"), ("desc", (D, N, 8), "u32"),
+                ("ur", (D, N), "f32"), ("kpv", (D, N), "bool"),
+            ])
+            self._row_layouts[D] = lay
+
+            def update(arrays, buf):
+                u = lay.unpack_jnp(buf)
+                idx = u["ids"]
+                ok = idx >= 0
+                idc = jnp.maximum(idx, 0)
+
+                def scat(cur, new):
+                    mask = ok.reshape((-1,) + (1,) * (new.ndim - 1))
+                    merged = jnp.where(mask, new.astype(cur.dtype), cur[idc])
+                    return cur.at[idc].set(merged)
+
+                return {k: scat(arrays[k], u[k]) for k in self.FIELDS}
+
+            self._row_jits[D] = jax.jit(update)
+        lay = self._row_layouts[D]
+
+        def padf(a, fill=0):
+            out = np.full((D,) + a.shape[1:], fill, a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        buf = lay.pack_np(dict(
+            ids=padf(ids.astype(np.int32), -1),
+            R=padf(s.kf_R[ids]), t=padf(s.kf_t[ids]), uv=padf(s.kf_uv[ids]),
+            oct=padf(s.kf_octave[ids]), desc=padf(s.kf_desc[ids]),
+            ur=padf(s.kf_u_right[ids]), kpv=padf(s.kf_kp_valid[ids]),
+        ))
+        self.arrays = self._row_jits[D](self.arrays, jax.device_put(buf))

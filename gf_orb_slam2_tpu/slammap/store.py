@@ -110,6 +110,12 @@ class MapStore:
         self.kf_point = np.full((K, N), -1, np.int32)
         self.covis = np.zeros((K, K), np.int32)
         self.kf_parent = np.full(K, -1, np.int32)
+        # free-slot RING for point allocation: pop at head, push at tail.
+        # FIFO reuse delays recycling of freed slots as long as possible, so
+        # stale ids held by in-flight frames/devices keep resolving correctly.
+        self._free = np.arange(P, dtype=np.int32)
+        self._free_head = 0
+        self._n_free = P
         # coarse map lock shared by the tracking thread and the async
         # mapping/loop worker (reference: Map::mMutexMapUpdate). Host-side
         # critical sections only — device waits happen OUTSIDE it.
@@ -117,6 +123,7 @@ class MapStore:
 
         self.lock = threading.RLock()
         self.mirror = None  # DeviceMapMirror when the streaming path is live
+        self.kf_mirror = None  # DeviceKFMirror (mapper/loop device programs)
 
     # ------------------------------------------------------------ keyframes
     def add_keyframe(
@@ -146,11 +153,15 @@ class MapStore:
         self.kf_timestamp[k] = timestamp
         self.kf_valid[k] = True
         self.n_keyframes += 1
+        if self.kf_mirror is not None:
+            self.kf_mirror.mark_row(k)
         return k
 
     def set_kf_pose(self, k, R, t):
         self.kf_R[k] = R
         self.kf_t[k] = t
+        if self.kf_mirror is not None:
+            self.kf_mirror.mark_pose(k)
 
     def kf_center(self, k):
         """Camera center(s) in world: -Rᵀ t. k may be an index or array."""
@@ -176,25 +187,34 @@ class MapStore:
         self.kf_valid[k] = False
 
     # ----------------------------------------------------------- map points
-    def add_point(self, pos, desc, first_kf=-1, normal=None, min_dist=0.1, max_dist=100.0) -> int:
-        # linear scan for a free slot from next_point (slots freed by culling)
-        P = self.cap.max_map_points
-        p = self.next_point
-        for _ in range(P):
-            if not self.point_valid[p % P]:
-                break
-            p += 1
-        p = p % P
-        if self.point_valid[p]:
-            # capacity pressure: cull the globally worst-tracked point and
-            # reuse its slot (the reference grows unbounded and relies on
-            # culling; fixed-capacity stores must reclaim here)
+    def _alloc_points(self, m: int) -> np.ndarray:
+        """Pop m free slot ids from the free stack; under capacity pressure
+        cull the globally worst-tracked points and reuse their slots (the
+        reference grows unbounded and relies on culling; a fixed-capacity
+        store must reclaim here)."""
+        short = m - self._n_free
+        if short > 0:
             live = self.valid_point_ids()
             ratios = self.found_ratio(live)
-            victim = int(live[np.argmin(ratios)])
-            self.erase_point(victim)
-            p = victim
-        self.next_point = p + 1
+            victims = live[np.argsort(ratios, kind="stable")[:short]]
+            for v in victims:
+                self.erase_point(int(v))
+        P = self.cap.max_map_points
+        h = self._free_head
+        idx = (h + np.arange(m)) % P
+        ids = self._free[idx].copy()
+        self._free_head = (h + m) % P
+        self._n_free -= m
+        return ids
+
+    def _free_point(self, p: int):
+        P = self.cap.max_map_points
+        tail = (self._free_head + self._n_free) % P
+        self._free[tail] = p
+        self._n_free += 1
+
+    def add_point(self, pos, desc, first_kf=-1, normal=None, min_dist=0.1, max_dist=100.0) -> int:
+        p = int(self._alloc_points(1)[0])
         self.point_pos[p] = pos
         self.point_desc[p] = desc
         self.point_normal[p] = normal if normal is not None else [0, 0, 1]
@@ -209,6 +229,7 @@ class MapStore:
         self.obs_kf[p] = -1
         self.obs_idx[p] = -1
         self.n_points += 1
+        self.next_point = p + 1
         self.mark_dirty(p)
         return p
 
@@ -219,27 +240,83 @@ class MapStore:
             self.mirror.mark(np.atleast_1d(ids))
 
     def add_points_batch(self, pos, desc, first_kf, kf_ids, kp_idx) -> np.ndarray:
-        """Vectorized creation of M points each observed by (kf_ids[m], kp_idx[m])."""
-        ids = np.empty(len(pos), np.int32)
-        for m in range(len(pos)):
-            ids[m] = self.add_point(pos[m], desc[m], first_kf)
-            self.add_observation(ids[m], int(kf_ids[m]), int(kp_idx[m]))
+        """Vectorized creation of M points each observed by (kf_ids[m], kp_idx[m]).
+        One fancy-indexed write per array — no per-point Python (the per-frame
+        and per-KF host paths must stay O(1) in Python ops)."""
+        m = len(pos)
+        if m == 0:
+            return np.empty(0, np.int32)
+        ids = self._alloc_points(m)
+        self.point_pos[ids] = pos
+        self.point_desc[ids] = desc
+        self.point_normal[ids] = [0, 0, 1]
+        self.point_min_dist[ids] = 0.1
+        self.point_max_dist[ids] = 100.0
+        self.point_valid[ids] = True
+        self.point_nobs[ids] = 1
+        self.point_visible[ids] = 1
+        self.point_found[ids] = 1
+        self.point_first_kf[ids] = first_kf
+        self.point_replaced_by[ids] = -1
+        self.obs_kf[ids] = -1
+        self.obs_idx[ids] = -1
+        kf_ids = np.broadcast_to(np.asarray(kf_ids, np.int32), (m,))
+        kp_idx = np.asarray(kp_idx, np.int32)
+        self.obs_kf[ids, 0] = kf_ids
+        self.obs_idx[ids, 0] = kp_idx
+        self.kf_point[kf_ids, kp_idx] = ids
+        self.n_points += m
+        self.mark_dirty(ids)
         return ids
+
+    def add_observations_batch(self, p_ids, kf: int, idxs):
+        """Vectorized add_observation for M (point, keypoint-slot) pairs all
+        observed by ONE keyframe `kf` (the per-KF binding loop of
+        CreateNewKeyFrame / stereo init). Falls back to the scalar path for
+        the rare rows that need eviction or already observe `kf`."""
+        p_ids = np.asarray(p_ids, np.int64)
+        idxs = np.asarray(idxs, np.int64)
+        if p_ids.size == 0:
+            return
+        rows = self.obs_kf[p_ids]                       # [M,O]
+        has_kf = (rows == kf).any(axis=1)
+        slot = np.argmax(rows < 0, axis=1)              # first free slot
+        has_free = rows[np.arange(len(p_ids)), slot] < 0
+        fast = ~has_kf & has_free
+        self.obs_kf[p_ids[fast], slot[fast]] = kf
+        self.obs_idx[p_ids[fast], slot[fast]] = idxs[fast]
+        self.point_nobs[p_ids[fast]] += 1
+        self.kf_point[kf, idxs[fast]] = p_ids[fast]
+        for j in np.nonzero(~fast)[0]:
+            self.add_observation(int(p_ids[j]), kf, int(idxs[j]))
 
     def add_observation(self, p: int, kf: int, idx: int):
         slots = self.obs_kf[p]
         existing = np.nonzero(slots == kf)[0]
         if existing.size:
+            old = self.obs_idx[p, existing[0]]
+            if old >= 0 and old != idx and self.kf_point[kf, old] == p:
+                self.kf_point[kf, old] = -1
             self.obs_idx[p, existing[0]] = idx
         else:
             free = np.nonzero(slots < 0)[0]
-            if not free.size:  # evict oldest
-                self.obs_kf[p, :-1] = self.obs_kf[p, 1:]
-                self.obs_idx[p, :-1] = self.obs_idx[p, 1:]
-                free = np.array([slots.shape[0] - 1])
-            self.obs_kf[p, free[0]] = kf
-            self.obs_idx[p, free[0]] = idx
-            self.point_nobs[p] += 1
+            if free.size:
+                s = free[0]
+                self.point_nobs[p] += 1
+            else:
+                # slots full: evict the observation whose camera center is
+                # CLOSEST to the incoming KF's — keeps the widest-baseline
+                # (typically earliest) observations that anchor BA, unlike
+                # oldest-first eviction (the reference never drops
+                # observations; with bounded slots this loses the least)
+                centers = self.kf_center(slots)          # [O,3]
+                d = np.linalg.norm(centers - self.kf_center(kf), axis=-1)
+                s = int(np.argmin(d))
+                old_kf, old_idx = slots[s], self.obs_idx[p, s]
+                if old_idx >= 0 and self.kf_point[old_kf, old_idx] == p:
+                    self.kf_point[old_kf, old_idx] = -1
+            self.obs_kf[p, s] = kf
+            self.obs_idx[p, s] = idx
         self.kf_point[kf, idx] = p
 
     def remove_observation(self, p: int, kf: int):
@@ -261,17 +338,16 @@ class MapStore:
     def erase_point(self, p: int):
         if not self.point_valid[p]:
             return
-        for s in range(self.obs_kf.shape[1]):
-            kf = self.obs_kf[p, s]
-            if kf >= 0:
-                idx = self.obs_idx[p, s]
-                if idx >= 0 and self.kf_point[kf, idx] == p:
-                    self.kf_point[kf, idx] = -1
+        kfs, idxs = self.obs_kf[p], self.obs_idx[p]
+        m = (kfs >= 0) & (idxs >= 0)
+        m[m] &= self.kf_point[kfs[m], idxs[m]] == p
+        self.kf_point[kfs[m], idxs[m]] = -1
         self.obs_kf[p] = -1
         self.obs_idx[p] = -1
         self.point_valid[p] = False
         self.point_nobs[p] = 0
         self.n_points -= 1
+        self._free_point(p)
 
     def replace_point(self, p_old: int, p_new: int):
         """MapPoint::Replace (reference: src/MapPoint.cc:306): transfer
@@ -295,6 +371,7 @@ class MapStore:
         self.obs_kf[p_old] = -1
         self.point_valid[p_old] = False
         self.n_points -= 1
+        self._free_point(p_old)
 
     def resolve_replaced(self, ids: np.ndarray) -> np.ndarray:
         """Follow Replace chains (reference: Tracking::CheckReplacedInLastFrame
@@ -349,6 +426,34 @@ class MapStore:
         self.point_min_dist[p] = self.point_max_dist[p] / level_scales[n_levels - 1]
         self.mark_dirty(p)
 
+    def update_normals_batch(self, ids, level_scales: np.ndarray):
+        """Vectorized update_normal_and_depth over M points (one fancy-indexed
+        pass instead of M Python calls — used on the KF-creation and
+        triangulation paths)."""
+        ids = np.asarray(ids, np.int64)
+        if ids.size == 0:
+            return
+        kfs = self.obs_kf[ids]                            # [M,O]
+        mask = kfs >= 0
+        any_obs = mask.any(axis=1)
+        ids, kfs, mask = ids[any_obs], kfs[any_obs], mask[any_obs]
+        if ids.size == 0:
+            return
+        centers = self.kf_center(np.maximum(kfs, 0))      # [M,O,3]
+        v = self.point_pos[ids][:, None] - centers
+        n = v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        n = np.where(mask[..., None], n, 0.0)
+        self.point_normal[ids] = n.sum(1) / np.maximum(
+            mask.sum(1, keepdims=True), 1)
+        ref = np.argmax(mask, axis=1)                     # first live slot
+        r = np.arange(len(ids))
+        dist = np.linalg.norm(self.point_pos[ids] - centers[r, ref], axis=-1)
+        oct_ = self.kf_octave[kfs[r, ref], self.obs_idx[ids, ref]]
+        sf = level_scales[np.clip(oct_, 0, len(level_scales) - 1)]
+        self.point_max_dist[ids] = dist * sf
+        self.point_min_dist[ids] = self.point_max_dist[ids] / level_scales[-1]
+        self.mark_dirty(ids)
+
     # --------------------------------------------------------- covisibility
     def update_connections(self, k: int):
         """Recompute covis row/col for KF k from shared map points and refresh
@@ -384,6 +489,16 @@ class MapStore:
         order = np.argsort(-w, kind="stable")
         order = order[w[order] > 0]
         return order[:n] if n is not None else order
+
+    def rebuild_free_list(self):
+        """Recompute the free-slot ring from point_valid (after load_map or
+        any bulk overwrite of the point arrays)."""
+        free = np.nonzero(~self.point_valid)[0].astype(np.int32)
+        P = self.cap.max_map_points
+        self._free = np.zeros(P, np.int32)
+        self._free[: free.size] = free
+        self._free_head = 0
+        self._n_free = int(free.size)
 
     # -------------------------------------------------------------- queries
     def valid_point_ids(self) -> np.ndarray:

@@ -249,6 +249,8 @@ class System:
         self.tracker._chain = None
         if self._map_worker is not None:
             self._map_worker.wait_idle()
+        if self.loop_closer is not None:
+            self.loop_closer.wait_gba()
         return done
 
     def _complete_one(self):

@@ -1097,15 +1097,15 @@ class Tracker:
         cam = self.cfg.camera
         good = frame.valid & (frame.depth > 0)
         idxs = np.nonzero(good)[0]
-        for i in idxs:
-            z = float(frame.depth[i])
-            x = (frame.uv[i, 0] - cam.cx) * z / cam.fx
-            y = (frame.uv[i, 1] - cam.cy) * z / cam.fy
-            p = s.add_point(np.array([x, y, z], np.float32), frame.desc[i], first_kf=k)
-            s.add_observation(p, k, int(i))
-            frame.mp_ids[i] = p
-        for p in frame.mp_ids[frame.mp_ids >= 0]:
-            s.update_normal_and_depth(int(p), self.level_scales)
+        z = frame.depth[idxs]
+        pts = np.stack([
+            (frame.uv[idxs, 0] - cam.cx) * z / cam.fx,
+            (frame.uv[idxs, 1] - cam.cy) * z / cam.fy,
+            z,
+        ], -1).astype(np.float32)
+        ids = s.add_points_batch(pts, frame.desc[idxs], k, k, idxs)
+        frame.mp_ids[idxs] = ids
+        s.update_normals_batch(ids, self.level_scales)
         s.update_connections(k)
         self.ref_kf = k
         self.last_kf_frame_id = frame.frame_id
@@ -1167,13 +1167,13 @@ class Tracker:
             frame.u_right, frame.depth, frame.valid, frame.frame_id,
             frame.timestamp,
         )
-        for i in np.nonzero(inl)[0]:
-            j = int(idx[i])
-            p = s.add_point(X[i].astype(np.float32), frame.desc[j], first_kf=k0)
-            s.add_observation(p, k0, int(i))
-            s.add_observation(p, k1, j)
-            s.update_normal_and_depth(p, self.level_scales)
-            frame.mp_ids[j] = p
+        rows = np.nonzero(inl)[0]
+        cols = idx[rows].astype(np.int64)
+        ids = s.add_points_batch(X[rows].astype(np.float32),
+                                 frame.desc[cols], k0, k0, rows)
+        s.add_observations_batch(ids, k1, cols)
+        s.update_normals_batch(ids, self.level_scales)
+        frame.mp_ids[cols] = ids
         s.update_connections(k0)
         s.update_connections(k1)
         frame.R, frame.t = R2, t2
@@ -1244,28 +1244,28 @@ class Tracker:
             frame.u_right, frame.depth, frame.valid, frame.frame_id, frame.timestamp,
         )
         has = np.nonzero(frame.mp_ids >= 0)[0]
-        for i in has:
-            s.add_observation(int(frame.mp_ids[i]), k, int(i))
+        s.add_observations_batch(frame.mp_ids[has], k, has)
         if self.cfg.sensor != Sensor.MONOCULAR:
             cand = np.nonzero(frame.valid & (frame.depth > 0) & (frame.mp_ids < 0))[0]
             if cand.size:
                 order = cand[np.argsort(frame.depth[cand])]
-                n_created = 0
+                z = frame.depth[order]
+                # reference: create ALL close points, plus the 100 nearest
+                # beyond the close threshold (depth-sorted loop with break)
+                keep = (z <= self.close_depth_th) | (np.arange(order.size) < 100)
+                order, z = order[keep], z[keep]
                 Rwc = frame.R.T
                 tw = frame.center()
                 cam = self.cfg.camera
-                for i in order:
-                    z = float(frame.depth[i])
-                    if z > self.close_depth_th and n_created >= 100:
-                        break
-                    x = (frame.uv[i, 0] - cam.cx) * z / cam.fx
-                    y = (frame.uv[i, 1] - cam.cy) * z / cam.fy
-                    pw = Rwc @ np.array([x, y, z], np.float32) + tw
-                    p = s.add_point(pw, frame.desc[i], first_kf=k)
-                    s.add_observation(p, k, int(i))
-                    s.update_normal_and_depth(p, self.level_scales)
-                    frame.mp_ids[i] = p
-                    n_created += 1
+                pc = np.stack([
+                    (frame.uv[order, 0] - cam.cx) * z / cam.fx,
+                    (frame.uv[order, 1] - cam.cy) * z / cam.fy,
+                    z,
+                ], -1).astype(np.float32)
+                pw = pc @ Rwc.T + tw
+                ids = s.add_points_batch(pw, frame.desc[order], k, k, order)
+                s.update_normals_batch(ids, self.level_scales)
+                frame.mp_ids[order] = ids
         s.update_connections(k)
         self.ref_kf = k
         self.last_kf_frame_id = frame.frame_id

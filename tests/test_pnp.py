@@ -46,6 +46,33 @@ class TestPnP:
         assert bool(res.ok)
         assert float(jnp.linalg.norm(res.t - t)) < 0.1
 
+    def test_planar_scene(self):
+        """EPnP parity case: relocalization against a (near-)planar landmark
+        set — a wall/floor-dominated scene where a 6-point DLT is degenerate
+        (reference solver: EPnP PnPsolver.cc:480 handles planar via the
+        control-point parametrization)."""
+        rng = np.random.default_rng(3)
+        n = 150
+        Xw = np.stack(
+            [rng.uniform(-4, 4, n), rng.uniform(-3, 3, n),
+             np.full(n, 8.0) + rng.normal(0, 1e-3, n)], -1
+        ).astype(np.float32)
+        xi = np.asarray([0.1, -0.15, 0.05, 0.2, -0.1, 0.3], np.float32)
+        R, t = lie.se3_exp(jnp.asarray(xi))
+        R, t = np.asarray(R), np.asarray(t)
+        pc = Xw @ R.T + t
+        uv = np.stack(
+            [FX * pc[:, 0] / pc[:, 2] + CX, FY * pc[:, 1] / pc[:, 2] + CY], -1
+        ) + rng.normal(0, 0.3, (n, 2))
+        res = pnp_ransac(
+            jnp.asarray(Xw), jnp.asarray(uv, jnp.float32),
+            jnp.ones(n, bool), FX, FY, CX, CY, jax.random.PRNGKey(0))
+        assert bool(res.ok)
+        assert float(jnp.linalg.norm(res.t - t)) < 0.1
+        dR = float(np.linalg.norm(np.asarray(
+            lie.so3_log(jnp.asarray(np.asarray(res.R) @ R.T)))))
+        assert dR < 0.05
+
     def test_too_few_matches(self):
         rng = np.random.default_rng(2)
         Xw, uv, valid, R, t = setup(rng, n=30)

@@ -49,6 +49,10 @@ def main():
             slam.flush_pipeline()
             slam.track_stereo(l, r, ts)
             continue
+        if slam.store.mirror is None:
+            from gf_orb_slam2_tpu.slammap.device_mirror import DeviceMapMirror
+
+            slam.store.mirror = DeviceMapMirror(slam.store)
         if tr._chain is None:
             tr._chain = tr.stream_bootstrap_chain()
         t0 = time.perf_counter()
@@ -67,6 +71,9 @@ def main():
             ACC["bookkeeping"] += tw2 - tw1
             ACC["mapper"] += time.perf_counter() - tw2
         t1 = time.perf_counter()
+        slam.store.mirror.sync()
+        t1b = time.perf_counter()
+        ACC["mirror_sync"] += t1b - t1 if i >= 24 else 0.0
         packed, pool_ids = tr.stream_prepare_upload(slam.frame_id)
         imgs = np.stack([_to_u8(l), _to_u8(r)])
         t2 = time.perf_counter()
@@ -90,7 +97,7 @@ def main():
             n_meas += 1
             ACC["total"] += t5 - t0
             ACC["complete_all"] += t1 - t0
-            ACC["prepare+stack"] += t2 - t1
+            ACC["prepare+stack"] += t2 - t1b
             ACC["device_put"] += t3 - t2
             ACC["dispatch"] += t4 - t3
             ACC["frame+submit"] += t5 - t4
@@ -98,7 +105,8 @@ def main():
 
     print(f"\n{n_meas} steady-state pipelined frames")
     for k in ["total", "complete_all", "fetch_wait", "bookkeeping", "mapper",
-              "prepare+stack", "device_put", "dispatch", "frame+submit"]:
+              "mirror_sync", "prepare+stack", "device_put", "dispatch",
+              "frame+submit"]:
         print(f"  {k:16s} {1e3 * ACC[k] / max(n_meas, 1):8.2f} ms/frame")
 
 
