@@ -149,14 +149,23 @@ class GoodGraphConfig:
     Thirdparty/SLAM++ NonlinearSolver_GoodGraph.h)."""
 
     enabled: bool = True
-    # reference: trigger 30 / pool 60 (Optimizer.h:44-45) sized for CPU g2o;
-    # the TPU build's dense BA window is narrower, so the trigger scales down
-    kf_thres: int = 12
-    max_pool: int = 24
+    # reference parity: trigger 30 / pool 60 (Optimizer.h:44-45 KF_THRES/
+    # MAXSZ). The incremental-Cholesky selection (selection/good_graph.py)
+    # makes the 60-KF pool tractable on device.
+    kf_thres: int = 30
+    max_pool: int = 60
     lazier_factor: int = 4
     # budget → subgraph size via cubic model (reference: Optimizer.cc:566 estimateKFNum);
     # here a direct size knob plus optional anticipation scaling.
     subgraph_size: int = 15
+    # anticipation: derive the per-KF local-BA time budget from predicted
+    # future visibility (virtual future KFs from the motion model/odometry —
+    # reference: Optimizer.cc:648-1131, budget range :1021-1024)
+    anticipation: bool = True
+    anticipation_horizon: int = 3      # virtual future KFs
+    anticipation_dt: float = 0.4       # seconds between virtual KFs
+    budget_ms_min: float = 100.0       # reference: Optimizer.cc:1021-1024
+    budget_ms_max: float = 800.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -263,6 +272,11 @@ class SystemConfig:
     capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
     use_viewer: bool = False
     localization_only: bool = False  # reference: ActivateLocalizationMode
+    # BoW vocabulary (reference: System(vocFile,...) System.cc:78-84).
+    # None → the shipped 10k-word asset (gf_orb_slam2_tpu/assets/vocab10k.npz,
+    # built by tools/build_vocabulary_asset.py); "" → disable (falls back to
+    # lazy self-training, the round-1 behavior); or a path to a .npz.
+    vocabulary_path: "str | None" = None
 
     def replace(self, **kw) -> "SystemConfig":
         return dataclasses.replace(self, **kw)

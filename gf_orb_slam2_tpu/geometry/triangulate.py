@@ -20,20 +20,24 @@ def triangulate_dlt(P1, P2, x1, x2):
     x1, x2: [..,2] normalized or pixel coords consistent with P.
     Returns homogeneous-normalized 3D points [..,3].
 
-    Solves the 4x4 system via normal equations (AᵀA, eigh) — batched and
-    TPU-friendly (no per-point SVD of ragged sizes).
+    Solves the inhomogeneous normal equations (w=1 gauge): minimize
+    ||A[X;1]||² → (A₃ᵀA₃)X = -A₃ᵀa₄, a batched closed-form 3x3 solve
+    (utils/linalg3.py) — the reference's per-point 4x4 SVD
+    (LocalMapping.cc:~500) is a LAPACK call TPUs execute poorly at
+    [10k×4×4]; genuinely-at-infinity points fail the cheirality gate anyway.
     """
+    from gf_orb_slam2_tpu.utils.linalg3 import solve3
+
     rows = []
     for P, x in ((P1, x1), (P2, x2)):
         rows.append(x[..., 0, None] * P[..., 2, :] - P[..., 0, :])
         rows.append(x[..., 1, None] * P[..., 2, :] - P[..., 1, :])
     A = jnp.stack(rows, axis=-2)  # [..,4,4]
-    AtA = einsum("...ki,...kj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    Xh = vecs[..., 0]  # smallest eigenvalue eigenvector
-    w = Xh[..., 3]
-    w = jnp.where(jnp.abs(w) < 1e-10, 1e-10, w)
-    return Xh[..., :3] / w[..., None]
+    A3 = A[..., :3]
+    a4 = A[..., 3]
+    AtA = einsum("...ki,...kj->...ij", A3, A3)
+    rhs = -einsum("...ki,...k->...i", A3, a4)
+    return solve3(AtA, rhs)
 
 
 def projection_matrix(K, R, t):

@@ -402,7 +402,8 @@ class LocalMapper:
         # RELEASED while the device solves (the blocking device_get below),
         # so async-mode tracking keeps its store access during the solve
         s.lock.acquire()
-        K_CAP = min(max(self.cfg.good_graph.max_pool, 8), 24)
+        # reference pool parity: up to 60 covisible KFs (Optimizer.h:45)
+        K_CAP = min(max(self.cfg.good_graph.max_pool, 8), 60)
         O_CAP = 12
         window = [kf] + [int(k) for k in s.covisible_kfs(kf, K_CAP - 1)]
         window = window[:K_CAP]
@@ -446,7 +447,9 @@ class LocalMapper:
         # cap) so steady state never sees a fresh compile mid-sequence
         P_CAP2 = self.cfg.capacity.max_local_points
         P_pad = min(1024, P_CAP2) if P <= 1024 else P_CAP2
-        K_pad = 2 * K_CAP  # window + fixed
+        # K likewise: small maps use the small bucket (padding to the 60-KF
+        # reference pool costs ~2.4x BA compute for nothing early on)
+        K_pad = 48 if K <= 24 else 2 * K_CAP  # window + fixed
 
         def pad_to(arr, n, fill=0):
             out = np.full((n,) + arr.shape[1:], fill, arr.dtype)
@@ -476,6 +479,18 @@ class LocalMapper:
         cam = self.cfg.camera
         gg = self.cfg.good_graph
         use_gg = gg.enabled and len(window) > gg.kf_thres
+        n_sel = gg.subgraph_size
+        if use_gg and gg.anticipation:
+            # virtual-future-KF visibility → BA budget → subgraph size
+            # (reference: Optimizer.cc:648-1131)
+            from gf_orb_slam2_tpu.selection.anticipation import (
+                anticipated_subgraph_size,
+            )
+
+            vel = (self.velocity_provider()
+                   if getattr(self, "velocity_provider", None) else None)
+            n_sel = anticipated_subgraph_size(
+                s, self.cfg, s.kf_R[kf], s.kf_t[kf], vel)
         try:
             mirrors = (s.kf_mirror.arrays, s.mirror.arrays)
             if use_gg:
@@ -487,7 +502,8 @@ class LocalMapper:
                 # device program: each extra blocking sync costs a ~26 ms
                 # relay round trip (tools/relay_microbench.py).
                 handle = self._run_gg_ba_jit(dev_up, mirrors,
-                                             jax.random.PRNGKey(kf), cam)
+                                             jax.random.PRNGKey(kf), cam,
+                                             jnp.int32(n_sel))
             else:
                 handle = self._run_ba_jit(dev_up, mirrors, cam)
         finally:
@@ -562,9 +578,11 @@ class LocalMapper:
             self._ba_shapes[key] = jax.jit(run)
         return self._ba_shapes[key](up, *mirrors)
 
-    def _run_gg_ba_jit(self, up, mirrors, rng, cam):
+    def _run_gg_ba_jit(self, up, mirrors, rng, cam, n_sel):
         """Good-graph selection + local BA fused into one device program
-        (one dispatch, one blocking fetch). Returns (ba_result, sel_mask)."""
+        (one dispatch, one blocking fetch). `n_sel` is a traced scalar so the
+        anticipation budget varies per KF event without recompiling.
+        Returns (ba_result, sel_mask)."""
         key = ("ggba", up[3].shape[0], up[0].shape[0], up[4].shape[1])
         if key not in self._ba_shapes:
             from gf_orb_slam2_tpu.optim.local_ba import pose_schur_blocks
@@ -572,15 +590,17 @@ class LocalMapper:
 
             lb = self.cfg.local_ba
             gg = self.cfg.good_graph
+            n_max = int(min(gg.max_pool, 30))
 
-            def run(u, kfm, ptm, k):
+            def run(u, kfm, ptm, k, ns):
                 pr = self._build_problem_on_device(u, kfm, ptm)
                 S = pose_schur_blocks(pr, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
                 free = ~pr.kf_fixed & pr.kf_valid
                 keep = jnp.zeros(pr.kf_R.shape[0], bool).at[0].set(True)
                 sel = select_subgraph(
-                    S, free, gg.subgraph_size, k,
+                    S, free, ns, k,
                     lazier_factor=gg.lazier_factor, always_keep=keep,
+                    n_max=n_max,
                 )
                 pr = pr._replace(kf_fixed=pr.kf_fixed | (~sel & free))
                 res = local_bundle_adjustment(
@@ -590,7 +610,7 @@ class LocalMapper:
                 return res, sel
 
             self._ba_shapes[key] = jax.jit(run)
-        return self._ba_shapes[key](up, *mirrors, rng)
+        return self._ba_shapes[key](up, *mirrors, rng, n_sel)
 
     # --------------------------------------------------------- KF culling
     def cull_keyframes(self, kf: int) -> int:

@@ -121,7 +121,9 @@ def pose_schur_blocks(prob: LocalBAProblem, fx, fy, cx, cy, bf, eps=1e-2):
     Hll = einsum("poab,poac->pbc", wJl, J_pt)
     C = einsum("poab,poac->pobc", wJp, J_pt)
     T1 = einsum("pok,pobc->pkbc", onehot, C)
-    Vinv = jnp.linalg.inv(
+    from gf_orb_slam2_tpu.utils.linalg3 import inv3
+
+    Vinv = inv3(
         Hll + eps * jnp.eye(3, dtype=Hll.dtype)
     ) * prob.pt_valid[:, None, None]
     T1V = einsum("pkab,pbc->pkac", T1, Vinv)
@@ -193,7 +195,9 @@ def local_bundle_adjustment(
         lamHll = Hll + (damping + lam) * jnp.eye(3, dtype=Hll.dtype) * (
             1.0 + einsum("pii->p", Hll)[:, None, None] / 3.0
         )
-        Vinv = jnp.linalg.inv(lamHll) * prob.pt_valid[:, None, None]    # [P,3,3]
+        from gf_orb_slam2_tpu.utils.linalg3 import inv3
+
+        Vinv = inv3(lamHll) * prob.pt_valid[:, None, None]              # [P,3,3]
 
         T1V = einsum("pkab,pbc->pkac", T1, Vinv)                         # [P,K,6,3]
         S_cross = einsum("pkac,pmdc->kmad", T1V, T1)                     # [K,K,6,6]

@@ -75,7 +75,9 @@ def build_distributed_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4):
         lamHll = Hll + (damping + lam) * jnp.eye(3, dtype=Hll.dtype) * (
             1.0 + einsum("pii->p", Hll)[:, None, None] / 3.0
         )
-        Vinv = jnp.linalg.inv(lamHll) * pt_valid[:, None, None]
+        from gf_orb_slam2_tpu.utils.linalg3 import inv3
+
+        Vinv = inv3(lamHll) * pt_valid[:, None, None]
         T1V = einsum("pkab,pbc->pkac", T1, Vinv)
         S_cross_loc = einsum("pkac,pmdc->kmad", T1V, T1)
         bs_corr_loc = einsum("pkac,pc->ka", T1V, bl)
@@ -141,10 +143,187 @@ def build_distributed_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4):
     return step
 
 
-def distributed_ba(mesh, prob: LocalBAProblem, fx, fy, cx, cy, bf, iters=10):
+def build_pcg_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4,
+                      pcg_iters: int = 48):
+    """KF-SHARDED distributed BA step: points sharded as in
+    build_distributed_ba_step, but the reduced camera system is never
+    replicated — `psum_scatter` hands each device a ROW BLOCK of S
+    [K/D, K, 6, 6], and the pose update solves S x = b with preconditioned
+    conjugate gradients whose matvec all-gathers only the [K,6] iterate.
+    Per-device memory for the camera system drops D-fold, so K scales with
+    the mesh instead of capping at what one chip can factor (the round-1
+    limitation called out in VERDICT §6).
+
+    Collective budget per LM iteration: one psum_scatter of [K,K,6,6]/D +
+    pcg_iters × all_gather([K,6]) — both ride ICI inside a host; across
+    hosts the same program lays the scatter on DCN (mesh axis order decides).
+    """
+    point_spec = P(DP_AXIS)
+    rep = P()
+    n_dev = mesh.devices.size
+
+    def shard_body(kf_R, kf_t, kf_fixed, kf_valid,
+                   pt_pos, pt_valid, obs_kf, obs_uv, obs_ur, obs_inv2,
+                   obs_valid, lam):
+        K = kf_R.shape[0]
+        prob = LocalBAProblem(
+            kf_R, kf_t, kf_fixed, kf_valid, pt_pos, pt_valid,
+            obs_kf, obs_uv, obs_ur, obs_inv2, obs_valid,
+        )
+        is_stereo = obs_ur >= 0
+        delta = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
+        onehot = jax.nn.one_hot(obs_kf, K, dtype=kf_R.dtype)
+        opt_mask = (~kf_fixed) & kf_valid
+
+        r, J_pose, J_pt, depth = _residuals(prob, kf_R, kf_t, pt_pos, fx, fy, cx, cy, bf)
+        c2 = _chi2(r, obs_inv2, is_stereo)
+        e = jnp.sqrt(jnp.maximum(c2, 1e-12))
+        w_huber = jnp.where(e <= delta, 1.0, delta / e)
+        active = obs_valid & (obs_kf >= 0) & pt_valid[:, None] & (depth > 1e-4)
+        w = obs_inv2 * w_huber * active.astype(r.dtype)
+        pose_on = opt_mask[jnp.maximum(obs_kf, 0)]
+        Jp = J_pose * pose_on[..., None, None].astype(r.dtype)
+
+        wJp = w[..., None, None] * Jp
+        M = einsum("poab,poac->pobc", wJp, Jp)
+        Hpp_loc = einsum("pok,pobc->kbc", onehot, M)
+        vb = einsum("poab,poa->pob", wJp, r)
+        bp_loc = einsum("pok,pob->kb", onehot, vb)
+        wJl = w[..., None, None] * J_pt
+        Hll = einsum("poab,poac->pbc", wJl, J_pt)
+        bl = einsum("poab,poa->pb", wJl, r)
+        C = einsum("poab,poac->pobc", wJp, J_pt)
+        T1 = einsum("pok,pobc->pkbc", onehot, C)
+        lamHll = Hll + (damping + lam) * jnp.eye(3, dtype=Hll.dtype) * (
+            1.0 + einsum("pii->p", Hll)[:, None, None] / 3.0
+        )
+        from gf_orb_slam2_tpu.utils.linalg3 import inv3
+
+        Vinv = inv3(lamHll) * pt_valid[:, None, None]
+        T1V = einsum("pkab,pbc->pkac", T1, Vinv)
+        S_cross_loc = einsum("pkac,pmdc->kmad", T1V, T1)
+        bs_corr_loc = einsum("pkac,pc->ka", T1V, bl)
+
+        # small replicated pieces (diagonal + rhs) by psum; the O(K²) body
+        # by reduce-scatter → each device owns rows [K/D, K, 6, 6]
+        Hpp = jax.lax.psum(Hpp_loc, DP_AXIS)
+        bp = jax.lax.psum(bp_loc, DP_AXIS)
+        bs_corr = jax.lax.psum(bs_corr_loc, DP_AXIS)
+        S_rows = jax.lax.psum_scatter(
+            -S_cross_loc, DP_AXIS, scatter_dimension=0, tiled=True)
+        Kb = K // n_dev
+        idx = jax.lax.axis_index(DP_AXIS)
+        row_ids = idx * Kb + jnp.arange(Kb)
+        D6 = jnp.eye(6, dtype=Hpp.dtype)[None] * (
+            damping + lam + einsum("kii->k", Hpp)[:, None, None] / 6.0 * lam
+        )
+        diag_blocks = Hpp + D6                       # [K,6,6] replicated
+        S_rows = S_rows.at[jnp.arange(Kb), row_ids].add(diag_blocks[row_ids])
+        act = opt_mask
+        # inactive poses: identity rows (consistent with the dense variant)
+        S_rows = S_rows * (act[row_ids][:, None, None, None]
+                           & act[None, :, None, None])
+        S_rows = S_rows.at[jnp.arange(Kb), row_ids].add(
+            jnp.eye(6, dtype=Hpp.dtype)[None]
+            * (~act[row_ids])[:, None, None])
+        b = (bp - bs_corr) * act[:, None]            # [K,6] replicated
+
+        # block-Jacobi preconditioner from the replicated diagonal
+        Pre = inv3_6(diag_blocks, act)
+
+        def matvec(x):                               # x [K,6] replicated
+            y_loc = einsum("rkab,kb->ra", S_rows, x)  # my rows
+            return jax.lax.all_gather(
+                y_loc, DP_AXIS, axis=0, tiled=True)   # [K,6]
+
+        def pcg(b):
+            x = jnp.zeros_like(b)
+            rr = b - matvec(x)
+            z = einsum("kab,kb->ka", Pre, rr)
+            p = z
+            rz = jnp.sum(rr * z)
+
+            def body(_, st):
+                x, rr, p, rz = st
+                Ap = matvec(p)
+                alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+                x = x + alpha * p
+                rr = rr - alpha * Ap
+                z = einsum("kab,kb->ka", Pre, rr)
+                rz_new = jnp.sum(rr * z)
+                beta = rz_new / jnp.maximum(rz, 1e-20)
+                p = z + beta * p
+                return (x, rr, p, rz_new)
+
+            x, _, _, _ = jax.lax.fori_loop(0, pcg_iters, body, (x, rr, p, rz))
+            return x
+
+        xi_p = -pcg(b)                               # xi = -S⁻¹ b
+        xi_p = xi_p * act[:, None]
+        rhs_l = bl + einsum("pkab,ka->pb", T1, xi_p)
+        dx = -einsum("pbc,pc->pb", Vinv, rhs_l)
+
+        dR, dt = lie.se3_exp(xi_p)
+        kf_R_new, kf_t_new = lie.se3_compose(dR, dt, kf_R, kf_t)
+        pt_new = pt_pos + dx * pt_valid[:, None]
+
+        def cost_of(Rk, tk, pts):
+            rr2, _, _, _ = _residuals(prob, Rk, tk, pts, fx, fy, cx, cy, bf)
+            cc = _chi2(rr2, obs_inv2, is_stereo)
+            ee = jnp.sqrt(jnp.maximum(cc, 1e-12))
+            rho = jnp.where(ee <= delta, cc, 2.0 * delta * ee - delta * delta)
+            return jax.lax.psum(jnp.sum(jnp.where(active, rho, 0.0)), DP_AXIS)
+
+        cost_old = cost_of(kf_R, kf_t, pt_pos)
+        cost_new = cost_of(kf_R_new, kf_t_new, pt_new)
+        accept = cost_new < cost_old
+        kf_R = jnp.where(accept, kf_R_new, kf_R)
+        kf_t = jnp.where(accept, kf_t_new, kf_t)
+        pt_pos = jnp.where(accept, pt_new, pt_pos)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-7, 1e6)
+        return kf_R, kf_t, pt_pos, lam, jnp.minimum(cost_new, cost_old)
+
+    def inv3_6(blocks, act):
+        """Inverse of SPD 6x6 blocks via two-level Schur on 3x3 corners
+        (closed form — no LAPACK; utils/linalg3.py)."""
+        from gf_orb_slam2_tpu.utils.linalg3 import inv3 as i3
+
+        A = blocks[..., :3, :3]
+        B = blocks[..., :3, 3:]
+        Ct = blocks[..., 3:, :3]
+        Dm = blocks[..., 3:, 3:]
+        Ai = i3(A)
+        Sc = Dm - Ct @ Ai @ B
+        Sci = i3(Sc)
+        TL = Ai + Ai @ B @ Sci @ Ct @ Ai
+        TR = -Ai @ B @ Sci
+        BL = -Sci @ Ct @ Ai
+        out = jnp.concatenate([
+            jnp.concatenate([TL, TR], -1),
+            jnp.concatenate([BL, Sci], -1),
+        ], -2)
+        return out * act[:, None, None]
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep,
+                  point_spec, point_spec, point_spec, point_spec, point_spec,
+                  point_spec, point_spec, rep),
+        out_specs=(rep, rep, point_spec, rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def distributed_ba(mesh, prob: LocalBAProblem, fx, fy, cx, cy, bf, iters=10,
+                   kf_sharded: bool = False):
     """Run `iters` distributed LM iterations. Arrays are placed with the
-    right shardings; returns updated (kf_R, kf_t, pt_pos, cost)."""
-    step = build_distributed_ba_step(mesh, fx, fy, cx, cy, bf)
+    right shardings; returns updated (kf_R, kf_t, pt_pos, cost).
+    kf_sharded=True uses the reduce-scatter + PCG camera solve (K must be
+    divisible by the mesh size)."""
+    step = (build_pcg_ba_step(mesh, fx, fy, cx, cy, bf) if kf_sharded
+            else build_distributed_ba_step(mesh, fx, fy, cx, cy, bf))
     point_sharding = NamedSharding(mesh, P(DP_AXIS))
     rep_sharding = NamedSharding(mesh, P())
     kf_R = jax.device_put(prob.kf_R, rep_sharding)

@@ -118,7 +118,23 @@ class Vocabulary:
         return self._jit_words(jnp.asarray(desc))
 
     def words_np(self, desc: np.ndarray) -> np.ndarray:
-        return np.asarray(self.words(desc))
+        """Host-side tree descent (vectorized numpy). A per-KF BoW transform
+        is ~1k descriptors × levels × k popcounts — microseconds on host,
+        while the device path costs a blocking relay round-trip (~26 ms) that
+        would serialize into the tracking pipeline at every keyframe event."""
+        desc = np.ascontiguousarray(desc, np.uint32)
+        n = desc.shape[0]
+        if n == 0:
+            return np.empty(0, np.int64)
+        idx = np.zeros(n, np.int64)
+        d8 = desc.view(np.uint8).reshape(n, 1, 32)
+        for lvl in range(self.levels):
+            cents = self.centers[lvl]
+            child = idx[:, None] * self.k + np.arange(self.k)[None, :]
+            cand = cents[child].view(np.uint8).reshape(n, self.k, 32)
+            d = np.bitwise_count(d8 ^ cand).sum(-1)  # [n,k]
+            idx = child[np.arange(n), d.argmin(1)]
+        return idx
 
     def bow_vector(self, desc: np.ndarray, valid: Optional[np.ndarray] = None) -> np.ndarray:
         """Dense normalized tf-idf vector [V]."""
@@ -129,6 +145,21 @@ class Vocabulary:
         v = np.bincount(w, minlength=self.V).astype(np.float32) * self.idf
         n = np.linalg.norm(v)
         return v / max(n, 1e-9)
+
+    def bow_sparse(self, desc: np.ndarray, valid: Optional[np.ndarray] = None):
+        """Sparse normalized tf-idf: (word_ids [U] sorted, weights [U]).
+
+        The sparse form scales to 10⁵-10⁶-word vocabularies where the dense
+        [V] vector (and [K,V] database matmul) stops being viable — the
+        DBoW2 BowVector equivalent (reference: DBoW2/BowVector.h)."""
+        d = desc if valid is None else desc[valid]
+        if len(d) == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.float32))
+        w = self.words_np(d)
+        ids, counts = np.unique(w, return_counts=True)
+        wt = counts.astype(np.float32) * self.idf[ids]
+        n = np.linalg.norm(wt)
+        return ids.astype(np.int64), wt / max(n, 1e-9)
 
     # ---------------------------------------------------------------- io
     def save(self, path):

@@ -39,37 +39,109 @@ def masked_logdet(S_blocks, mask, eps=1e-3):
     return logdet_psd(M, eps)
 
 
+def _chol6(M, eps=1e-9):
+    """Unrolled 6x6 Cholesky (batched). Returns lower-triangular L and
+    Σ log diag(L) (half the logdet)."""
+    d = M.shape[-1]
+    L = jnp.zeros_like(M)
+    logdiag = jnp.zeros(M.shape[:-2], M.dtype)
+    for j in range(d):
+        s = M[..., j, j] - jnp.sum(L[..., j, :j] ** 2, -1)
+        dj = jnp.sqrt(jnp.maximum(s, eps))
+        L = L.at[..., j, j].set(dj)
+        logdiag = logdiag + jnp.log(dj)
+        if j + 1 < d:
+            r = (
+                M[..., j + 1:, j]
+                - jnp.sum(L[..., j + 1:, :j] * L[..., None, j, :j], -1)
+            ) / dj[..., None]
+            L = L.at[..., j + 1:, j].set(r)
+    return L, logdiag
+
+
 def select_subgraph(
-    S_blocks, free_mask, n_select: int, key, lazier_factor: int = 4,
-    always_keep=None, eps: float = 1e-3,
+    S_blocks, free_mask, n_select, key, lazier_factor: int = 4,
+    always_keep=None, eps: float = 1e-3, n_max: int = None,
 ):
-    """Greedy Max-logDet selection of `n_select` keyframes.
+    """Greedy Max-logDet selection of `n_select` keyframes via INCREMENTAL
+    block Cholesky — the reference's GetLogDetInc scheme
+    (SLAM++ NonlinearSolver_GoodGraph.h:1181-1218) as fixed-shape scan.
+
+    Maintains L = chol(S[A,A]) in a [6n,6n] buffer over rounds. Scoring all
+    K candidates per round costs one triangular solve [6n,6n]x[6n,6K] plus a
+    batched 6x6 Cholesky — O(n²K) per round instead of the O(K·(6K)³) of
+    re-factorizing the masked full matrix per candidate (what round 1 did;
+    infeasible at the reference's 60-KF pool).
 
     S_blocks: [K,K,6,6] pose-Schur information; free_mask: [K] selectable;
-    always_keep: [K] bool — pre-selected (e.g. the current KF).
+    always_keep: [K] bool — pre-selected (slot 0 of the ordering).
+    `n_select` may be a TRACED scalar (anticipation budgets vary per KF
+    event without recompiling) as long as `n_max` bounds it statically.
     Returns selected mask [K].
     """
     K = S_blocks.shape[0]
+    if n_max is None:
+        n_max = int(n_select)
     if always_keep is None:
         always_keep = jnp.zeros(K, bool)
-    selected0 = always_keep & free_mask
+    dt = S_blocks.dtype
+    N6 = 6 * n_max
+    # diagonal scale-normalization (f32: info diagonals span ~1e5..1e8)
+    dscale = jnp.sqrt(jnp.maximum(
+        jnp.diagonal(S_blocks[jnp.arange(K), jnp.arange(K)], axis1=-2, axis2=-1),
+        eps))  # [K,6]
+    Sn = S_blocks / (dscale[:, None, :, None] * dscale[None, :, None, :])
+    Sn = Sn.at[jnp.arange(K), jnp.arange(K)].add(
+        1e-5 * jnp.eye(6, dtype=dt))
+    # S as [6K,6K] (row-major over KFs)
+    Sfull = jnp.swapaxes(Sn, 1, 2).reshape(K * 6, K * 6)
 
-    def round_fn(carry, k):
-        selected = carry
-        # lazier: random candidate subset
+    selected0 = jnp.zeros(K, bool)
+    L0 = jnp.eye(N6, dtype=dt)       # factor buffer; unused rows = identity
+    B0 = jnp.zeros((N6, K * 6), dt)  # rows of S for the selected ordering
+    # seed the ordering with always_keep & free (at most one expected: the
+    # anchor KF); handled as round 0 with forced argmax
+    forced = always_keep & free_mask
+
+    def round_fn(carry, inp):
+        selected, L, B, n_sel = carry
+        r6 = 6 * inp["r"]
+        k = inp["key"]
+        # X = L⁻¹ B  (triangular; unused rows of L are identity, B rows zero)
+        X = jax.scipy.linalg.solve_triangular(L, B, lower=True)  # [N6,6K]
+        Xb = X.reshape(N6, K, 6)
+        # Δ_j = S_jj - X_jᵀ X_j for all candidates j (f32 contraction:
+        # bf16 here corrupts the logdet ranking — utils/precision.py)
+        from gf_orb_slam2_tpu.utils.precision import einsum as p_einsum
+
+        G = p_einsum("nka,nkb->kab", Xb, Xb)
+        Sdiag = Sn[jnp.arange(K), jnp.arange(K)]
+        Delta = Sdiag - G
+        Lc, logd = _chol6(Delta)     # [K,6,6], [K] (½ logdet gains)
         u = jax.random.uniform(k, (K,))
         cand = free_mask & ~selected & (u < 1.0 / max(lazier_factor, 1))
         cand = jnp.where(jnp.any(cand), cand, free_mask & ~selected)
-        trial_masks = selected[None, :] | (jnp.eye(K, dtype=bool))
-        lds = masked_logdet(S_blocks, trial_masks, eps)  # [K]
-        score = jnp.where(cand, lds, -jnp.inf)
+        cand = jnp.where(jnp.any(forced & ~selected), forced & ~selected, cand)
+        score = jnp.where(cand, logd, -jnp.inf)
         best = jnp.argmax(score)
-        ok = jnp.isfinite(score[best]) & (jnp.sum(selected) < n_select)
+        ok = jnp.isfinite(score[best]) & (n_sel < n_select)
+        # grow the factor: rows [r6:r6+6] ← [X_bestᵀ | chol(Δ_best)]
+        Xbest = Xb[:, best]                       # [N6,6]
+        newrow = jnp.zeros((6, N6), dt)
+        newrow = jax.lax.dynamic_update_slice(newrow.T, Lc[best].T,
+                                              (r6, 0)).T  # place chol at r6
+        newrow = newrow + Xbest.T * (jnp.arange(N6) < r6)[None, :]
+        L = jnp.where(ok, jax.lax.dynamic_update_slice(L, newrow, (r6, 0)), L)
+        Brow = jax.lax.dynamic_slice(Sfull, (best * 6, 0), (6, K * 6))
+        B = jnp.where(ok, jax.lax.dynamic_update_slice(B, Brow, (r6, 0)), B)
         selected = selected.at[best].set(selected[best] | ok)
-        return selected, None
+        n_sel = n_sel + ok.astype(jnp.int32)
+        return (selected, L, B, n_sel), None
 
-    keys = jax.random.split(key, n_select)
-    selected, _ = jax.lax.scan(round_fn, selected0, keys)
+    keys = jax.random.split(key, n_max)
+    inps = {"r": jnp.arange(n_max), "key": keys}
+    (selected, _, _, _), _ = jax.lax.scan(
+        round_fn, (selected0, L0, B0, jnp.int32(0)), inps)
     return selected
 
 

@@ -157,6 +157,8 @@ class System:
         scales = np.asarray(self.extractor.scales, np.float32)
         self.tracker = Tracker(cfg, self.store, n_kp, scales)
         self.mapper = LocalMapper(cfg, self.store, n_kp, scales)
+        # anticipation budgeting reads the tracker's motion model
+        self.mapper.velocity_provider = lambda: self.tracker.velocity
         self.frame_id = 0
         # streaming pipeline state (track_stereo_pipelined)
         from collections import deque
@@ -165,12 +167,14 @@ class System:
         self._pipeline_depth = cfg.tracking.pipeline_depth
         self._fetcher: Optional[_PipelineFetcher] = None
         self._map_worker: Optional[_MappingWorker] = None
-        # place recognition (vocabulary trained lazily from early keyframes —
-        # the reference loads a prebuilt ~140MB DBoW2 file, System.cc:78-84)
+        # place recognition: load the pretrained vocabulary asset (reference:
+        # System loads the DBoW2 file up front, System.cc:78-84); lazy
+        # self-training remains only as a fallback when no asset exists
         self.voc = None
         self.kfdb = None
         self.loop_closer = None
         self._vocab_min_kfs = 8
+        self._load_vocabulary()
         self._rectify_left: Optional[cam_mod.RectifyMap] = None
         self._rectify_right: Optional[cam_mod.RectifyMap] = None
         if cam.left_K is not None:
@@ -329,9 +333,28 @@ class System:
         self.frame_id += 1
         return frame.pose_matrix()
 
+    def _load_vocabulary(self):
+        """Load the pretrained BoW vocabulary (reference: System.cc:78-84).
+        cfg.vocabulary_path: None → shipped asset; "" → disabled (lazy
+        training fallback); path → that file."""
+        import os
+
+        path = self.cfg.vocabulary_path
+        if path == "":
+            return
+        if path is None:
+            path = os.path.join(os.path.dirname(__file__), "assets",
+                                "vocab10k.npz")
+            if not os.path.exists(path):
+                return
+        from gf_orb_slam2_tpu.place.vocabulary import Vocabulary
+
+        self.voc = Vocabulary.load(path)
+
     def _ensure_place_recognition(self):
-        """Train the vocabulary from early map descriptors, then activate the
-        KF database + loop closing (reference wiring: System.cc:96-118)."""
+        """Activate the KF database + loop closing once the vocabulary is up
+        (reference wiring: System.cc:96-118). Falls back to training a
+        vocabulary from early map descriptors when no asset was loaded."""
         if self.voc is not None or self.store.n_keyframes < self._vocab_min_kfs:
             if self.kfdb is not None:
                 return

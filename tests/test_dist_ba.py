@@ -36,3 +36,28 @@ class TestDistributedBA:
         np.testing.assert_allclose(
             np.asarray(out1[2]), np.asarray(out8[2]), atol=5e-3
         )
+
+    def test_kf_sharded_pcg_converges(self):
+        """KF-sharded variant (reduce-scattered camera system + distributed
+        PCG — no replicated [6K,6K] factor): must converge to ground truth
+        like the dense solve. K divisible by the mesh size."""
+        rng = np.random.default_rng(2)
+        prob, gt_R, gt_t, gt_pts = build_problem(rng, K=16, P=512, O=8)
+        mesh = make_mesh(8)
+        kf_R, kf_t, pt_pos, cost = distributed_ba(
+            mesh, prob, FX, FY, CX, CY, BF, iters=12, kf_sharded=True)
+        terr = np.linalg.norm(np.asarray(kf_t) - gt_t, axis=-1)
+        assert terr[1:].max() < 0.02, terr
+        perr = np.linalg.norm(np.asarray(pt_pos) - gt_pts, axis=-1)
+        assert np.median(perr) < 0.1
+
+    def test_kf_sharded_matches_dense(self):
+        """One LM step of the PCG variant ≈ the dense replicated solve."""
+        rng = np.random.default_rng(3)
+        prob, gt_R, gt_t, gt_pts = build_problem(rng, K=8, P=256, O=6)
+        mesh = make_mesh(8)
+        outd = distributed_ba(mesh, prob, FX, FY, CX, CY, BF, iters=1)
+        outp = distributed_ba(mesh, prob, FX, FY, CX, CY, BF, iters=1,
+                              kf_sharded=True)
+        np.testing.assert_allclose(np.asarray(outd[1]), np.asarray(outp[1]),
+                                   atol=2e-4)

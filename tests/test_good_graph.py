@@ -61,3 +61,47 @@ class TestGoodGraph:
 
     def test_budget_model(self):
         assert estimate_kf_budget(5.0) < estimate_kf_budget(100.0) <= 64
+
+    def test_gg_ba_beats_baselines(self):
+        """Good-graph-selected BA at a fixed KF budget must beat the
+        sliding-window baseline on selection logDet AND on the trajectory
+        error of the keyframes it chose to optimize (reference comparison:
+        test_GoodMap.cpp:155 + the sliding-window/covis baselines of
+        Optimizer.h:39-40). Information is heterogeneous: late KFs see few
+        points, so 'most recent' is the wrong subset to spend budget on."""
+        from gf_orb_slam2_tpu.optim.local_ba import local_bundle_adjustment
+        from tests.test_local_ba import build_problem
+
+        rng = np.random.default_rng(5)
+        K, P, B = 16, 400, 6
+        prob, gt_R, gt_t, gt_pts = build_problem(
+            rng, K=K, P=P, O=8, pose_noise=0.05)
+        # strip most observations of the last 6 KFs (weakly constrained)
+        obs_kf = np.asarray(prob.obs_kf)
+        obs_valid = np.asarray(prob.obs_valid)
+        weak = obs_kf >= K - 6
+        drop = weak & (rng.random(obs_valid.shape) < 0.9)
+        obs_valid = obs_valid & ~drop
+        prob = prob._replace(obs_valid=jnp.asarray(obs_valid))
+        S = pose_schur_blocks(prob, FX, FY, CX, CY, BF)
+        free = ~np.asarray(prob.kf_fixed)
+
+        def run_with(sel_mask):
+            pr = prob._replace(
+                kf_fixed=prob.kf_fixed | jnp.asarray(~sel_mask & free))
+            res = local_bundle_adjustment(pr, FX, FY, CX, CY, BF)
+            terr = np.linalg.norm(np.asarray(res.kf_t) - gt_t, axis=-1)
+            return float(terr[sel_mask & free].mean())
+
+        keep = jnp.zeros(K, bool).at[1].set(True)
+        sel_gg = np.asarray(select_subgraph(
+            S, jnp.asarray(free), B, jax.random.PRNGKey(0),
+            always_keep=keep))
+        sel_sw = np.zeros(K, bool)
+        sel_sw[K - B:] = True  # sliding window: most recent B
+        ld_gg = float(masked_logdet(S, jnp.asarray(sel_gg)))
+        ld_sw = float(masked_logdet(S, jnp.asarray(sel_sw & free)))
+        assert ld_gg > ld_sw, (ld_gg, ld_sw)
+        err_gg = run_with(sel_gg)
+        err_sw = run_with(sel_sw)
+        assert err_gg <= err_sw * 1.05, (err_gg, err_sw)
