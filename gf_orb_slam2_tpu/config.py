@@ -240,6 +240,20 @@ class LoopClosingConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class CharucoConfig:
+    """ChArUco-board absolute pose initialization (reference:
+    INIT_WITH_ARUCHO + src/ChArUco.cc — anchors the world frame to a
+    calibration board seen in the first frame instead of the identity)."""
+
+    enabled: bool = False
+    squares_x: int = 5
+    squares_y: int = 7
+    square_len: float = 0.04
+    marker_len: float = 0.02
+    dictionary: str = "DICT_4X4_50"
+
+
+@dataclasses.dataclass(frozen=True)
 class CapacityConfig:
     """Fixed capacities for the SoA device map state (SURVEY.md §7.1).
 
@@ -270,6 +284,7 @@ class SystemConfig:
     local_ba: LocalBAConfig = dataclasses.field(default_factory=LocalBAConfig)
     loop: LoopClosingConfig = dataclasses.field(default_factory=LoopClosingConfig)
     capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
+    charuco: CharucoConfig = dataclasses.field(default_factory=CharucoConfig)
     use_viewer: bool = False
     localization_only: bool = False  # reference: ActivateLocalizationMode
     # BoW vocabulary (reference: System(vocFile,...) System.cc:78-84).

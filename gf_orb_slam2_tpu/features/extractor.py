@@ -109,6 +109,22 @@ class ORBExtractor:
         wl = jnp.asarray([w for h, w in self.sizes], jnp.int32)
 
         score, keep = fast.detect(stack, float(cfg.min_th_fast), border, (hl, wl))
+        if cfg.ini_th_fast > cfg.min_th_fast:
+            # two-tier threshold (reference: iniThFAST per 30x30 cell with
+            # minThFAST fallback, ORBextractor.cc:767): cells holding a
+            # strong corner keep ONLY strong corners; weak ones fill cells
+            # with none. The V-score ≥ t test IS the corner-at-t test.
+            cs = cfg.cell_size
+            strong = keep & (score >= float(cfg.ini_th_fast))
+            Hp = -(-H0 // cs) * cs
+            Wp = -(-W0 // cs) * cs
+            sp = jnp.pad(strong, ((0, 0), (0, Hp - H0), (0, Wp - W0)))
+            cells = sp.reshape(L, Hp // cs, cs, Wp // cs, cs).any((2, 4))
+            cell_any = jnp.broadcast_to(
+                cells[:, :, None, :, None],
+                (L, Hp // cs, cs, Wp // cs, cs),
+            ).reshape(L, Hp, Wp)[:, :H0, :W0]
+            keep = keep & (strong | ~cell_any)
         vals, ys, xs, rank = jax.vmap(
             lambda s, k: select.cell_topk(s, k, cfg.cell_size, cfg.per_cell_k)
         )(score, keep)

@@ -80,6 +80,10 @@ class MultiIndexHashing:
         self.active_tables = np.arange(cfg.n_tables, dtype=np.int32)[: self.n_active]
         # candidate budget controller (replaces the 20ms time controller)
         self.candidate_budget = 2048
+        # per-table retrieval-utility EMA (reference: per-point
+        # mnQueriedScore/mvbActiveHashTables accumulated into table scores,
+        # Tracking::UpdateQueryNumByHashTable Tracking.cc:3111)
+        self.table_utility = np.zeros(cfg.n_tables, np.float64)
 
     def __del__(self):
         try:
@@ -114,14 +118,36 @@ class MultiIndexHashing:
         return out[:n]
 
     # ------------------------------------------------ online table selection
+    def update_query_scores(self, kp_desc: np.ndarray, pt_desc: np.ndarray,
+                            ema: float = 0.9):
+        """Accumulate per-table retrieval utility from ACTUAL matches
+        (reference: Tracking::UpdateQueryNumByHashTable Tracking.cc:3111 —
+        tables that would have retrieved the matched landmarks score up).
+
+        Table t retrieves point p for query q iff their t-th 8-bit substring
+        agrees; with [M,8]-u32 descriptors that is a bytewise comparison."""
+        if len(kp_desc) == 0:
+            return
+        qa = np.ascontiguousarray(kp_desc, np.uint32).view(np.uint8)
+        pa = np.ascontiguousarray(pt_desc, np.uint32).view(np.uint8)
+        hits = (qa == pa).reshape(len(kp_desc), -1)  # [M, 32] per-substring
+        util = hits[:, : self.cfg.n_tables].sum(0).astype(np.float64)
+        self.table_utility = ema * self.table_utility + (1.0 - ema) * util
+
     def update_table_selection(self):
-        """Pick the `n_active` least-loaded tables (reference OTS intent:
-        balance retrieval cost, Tracking.cc:3111)."""
+        """Activate the `n_active` highest-utility tables; load (table size)
+        breaks ties / drives the cold start (reference OTS:
+        Tracking.cc:3111 + Hashing.h NUM_ACTIVE_HASHTABLES)."""
         sizes = np.empty(self.cfg.n_tables, np.int64)
         self._lib.mih_table_sizes(
             self._h, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         )
-        self.active_tables = np.argsort(sizes)[: self.n_active].astype(np.int32)
+        if self.table_utility.max() > 0:
+            # utility first; prefer lighter tables among equals
+            key = self.table_utility - 1e-9 * sizes
+            self.active_tables = np.argsort(-key)[: self.n_active].astype(np.int32)
+        else:
+            self.active_tables = np.argsort(sizes)[: self.n_active].astype(np.int32)
 
     def update_dynamics(self, n_candidates_used: int, target: int = 2048):
         """Feedback controller on the candidate budget (reference:

@@ -45,18 +45,30 @@ def detect_board_pose(
     import cv2
 
     board, dic = board_cfg.build()
-    corners, ids, _ = cv2.aruco.detectMarkers(img, dic)
-    if ids is None or len(ids) < 4:
-        return None
-    ok, ch_corners, ch_ids = cv2.aruco.interpolateCornersCharuco(
-        corners, ids, img, board
-    )
-    if not ok or ch_ids is None or len(ch_ids) < 6:
-        return None
-    ok, rvec, tvec = cv2.aruco.estimatePoseCharucoBoard(
-        ch_corners, ch_ids, board, K.astype(np.float64),
-        np.asarray(dist, np.float64), None, None,
-    )
+    if hasattr(cv2.aruco, "CharucoDetector"):  # OpenCV >= 4.8 API
+        det = cv2.aruco.CharucoDetector(board)
+        ch_corners, ch_ids, mk_corners, mk_ids = det.detectBoard(img)
+        if ch_ids is None or len(ch_ids) < 6:
+            return None
+        obj_pts, img_pts = board.matchImagePoints(ch_corners, ch_ids)
+        if obj_pts is None or len(obj_pts) < 6:
+            return None
+        ok, rvec, tvec = cv2.solvePnP(
+            obj_pts, img_pts, K.astype(np.float64),
+            np.asarray(dist, np.float64))
+    else:  # legacy API
+        corners, ids, _ = cv2.aruco.detectMarkers(img, dic)
+        if ids is None or len(ids) < 4:
+            return None
+        ok, ch_corners, ch_ids = cv2.aruco.interpolateCornersCharuco(
+            corners, ids, img, board
+        )
+        if not ok or ch_ids is None or len(ch_ids) < 6:
+            return None
+        ok, rvec, tvec = cv2.aruco.estimatePoseCharucoBoard(
+            ch_corners, ch_ids, board, K.astype(np.float64),
+            np.asarray(dist, np.float64), None, None,
+        )
     if not ok:
         return None
     R, _ = cv2.Rodrigues(rvec)

@@ -14,9 +14,15 @@ MAX_DIST = 256
 
 
 def distance_matrix(da, db):
-    """da: [N,8] uint32, db: [M,8] uint32 → [N,M] int32 Hamming distances."""
-    x = jnp.bitwise_xor(da[:, None, :], db[None, :, :])
-    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    """da: [N,8] uint32, db: [M,8] uint32 → [N,M] int32 Hamming distances.
+
+    On TPU with tileable shapes this routes to the Pallas kernel
+    (ops/pallas_hamming.py): the XLA formulation materializes the [N,M,8]
+    XOR tensor in HBM (~128 MB at 4096×1024), the kernel tiles it through
+    VMEM so HBM traffic is descriptor reads + the [N,M] result."""
+    from gf_orb_slam2_tpu.ops.pallas_hamming import distance_matrix_pallas
+
+    return distance_matrix_pallas(da, db)
 
 
 def distance_pairs(da, db):

@@ -105,6 +105,55 @@ def pose_info_from_frame(q, p, pts, fx, fy, bf, stereo_mask, inv_sigma2, valid):
     return jnp.sum(M, axis=0)
 
 
+def measurement_jacobians_13(q, p, pts, fx, fy, bf, stereo_mask):
+    """Hybrid full-state Jacobian H [P,3,13] over Xv = [p,q,v,ω]
+    (reference: USE_HYBRID_INFO_MATRIX, Tracking.cc:271-274 size 13).
+    Velocity/rate columns are zero at the measurement instant — they gain
+    rank through the kinematic transition (see `som_matrices`) or the
+    kinematic prior in `info_matrices_13`."""
+    H7, pc = measurement_jacobians(q, p, pts, fx, fy, bf, stereo_mask)
+    z6 = jnp.zeros(H7.shape[:-1] + (6,), H7.dtype)
+    return jnp.concatenate([H7, z6], -1), pc
+
+
+def info_matrices_13(q, p, pts, fx, fy, bf, stereo_mask, inv_sigma2, valid,
+                     kine_prior: float = 1e2):
+    """Per-landmark 13x13 hybrid information matrices: measurement info on
+    the pose block + a kinematic prior on the velocity/rate block (the
+    reference's hybrid mode folds the propagated kinematic covariance in;
+    a diagonal prior keeps the matrix full-rank with the same selection
+    ordering on the pose block)."""
+    H, pc = measurement_jacobians_13(q, p, pts, fx, fy, bf, stereo_mask)
+    w = (valid & (pc[..., 2] > 1e-3)).astype(H.dtype) * inv_sigma2
+    M = einsum("p,pri,prj->pij", w, H, H)
+    prior = jnp.concatenate(
+        [jnp.zeros(7, M.dtype), jnp.full(6, kine_prior, M.dtype)])
+    return M + jnp.diag(prior)[None]
+
+
+def som_matrices(q, p, v, w_rate, dts, pts, fx, fy, bf, stereo_mask):
+    """Stripe observability matrix over a PWLS segment chain
+    (reference: Observability::compute_SOM_In_Segment Observability.cc:34):
+    SOM = [H(x₀); H(x₁)F₁; H(x₂)F₂F₁; ...] with the 13-state constant-
+    velocity transition. Returns [P, 3·n, 13] for n = len(dts) segments.
+    """
+    from gf_orb_slam2_tpu.tracking.kinematics import (
+        KineState, predict, process_jacobian,
+    )
+
+    st = KineState(p=p, q=q, v=v, w=w_rate)
+    Phi = jnp.eye(13, dtype=jnp.float32)
+    stripes = []
+    for dt in dts:
+        H, _ = measurement_jacobians_13(st.q, st.p, pts, fx, fy, bf,
+                                        stereo_mask)
+        stripes.append(einsum("prj,jk->prk", H, Phi))
+        F = process_jacobian(st, dt)
+        Phi = einsum("ij,jk->ik", F, Phi)
+        st = predict(st, dt)
+    return jnp.concatenate(stripes, axis=1)
+
+
 def _chol_logdet_unrolled(M, eps=1e-6):
     """log|M| of small PSD matrices [..., D, D] via fully-unrolled Cholesky.
 

@@ -493,6 +493,9 @@ class System:
         pre = self.tracker.fused_dispatch_uploaded(out, up_d, meta)
         f = self._make_frame(out, ts)
         f._predispatched = pre
+        if self.cfg.charuco.enabled and self.state.name in (
+                "NO_IMAGES_YET", "NOT_INITIALIZED"):
+            f._raw_img = np.asarray(im_left)
         return f
 
     # NOTE: frames are DEFERRED — host arrays are fetched inside the tracker

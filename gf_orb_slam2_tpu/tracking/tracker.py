@@ -301,14 +301,30 @@ class Tracker:
                 ] ** 2
                 is_stereo_sensor = self.cfg.sensor != Sensor.MONOCULAR
                 stereo_mask = jnp.full(loc_pos.shape[0], is_stereo_sensor)
-                obs_mats = observability.info_matrices(
-                    q_wc, center, loc_pos, fx, fy, bf, stereo_mask, inv2_pt, pool
-                )
-                base = observability.pose_info_from_frame(
-                    q_wc, center, kp_mp_pos, fx, fy, bf,
-                    jnp.full(kp_mp_pos.shape[0], is_stereo_sensor),
-                    jnp.ones(kp_mp_pos.shape[0], obs_mats.dtype), kp_mp_valid,
-                )
+                if gf_cfg.info_mat_size == 13:
+                    # hybrid full-state mode (reference: Tracking.cc:271-274
+                    # USE_HYBRID_INFO_MATRIX → 13x13 over [p,q,v,ω])
+                    obs_mats = observability.info_matrices_13(
+                        q_wc, center, loc_pos, fx, fy, bf, stereo_mask,
+                        inv2_pt, pool,
+                    )
+                    base = jnp.sum(observability.info_matrices_13(
+                        q_wc, center, kp_mp_pos, fx, fy, bf,
+                        jnp.full(kp_mp_pos.shape[0], is_stereo_sensor),
+                        jnp.ones(kp_mp_pos.shape[0], obs_mats.dtype),
+                        kp_mp_valid, kine_prior=0.0,
+                    ), axis=0)
+                else:
+                    obs_mats = observability.info_matrices(
+                        q_wc, center, loc_pos, fx, fy, bf, stereo_mask,
+                        inv2_pt, pool,
+                    )
+                    base = observability.pose_info_from_frame(
+                        q_wc, center, kp_mp_pos, fx, fy, bf,
+                        jnp.full(kp_mp_pos.shape[0], is_stereo_sensor),
+                        jnp.ones(kp_mp_pos.shape[0], obs_mats.dtype),
+                        kp_mp_valid,
+                    )
                 sel, _ = good_feature.lazier_greedy_select(
                     obs_mats, pool, gf_cfg.constr_per_frame, rng_key,
                     lazier_factor=gf_cfg.lazier_factor, base_mat=base,
@@ -568,6 +584,17 @@ class Tracker:
         self._finish_frame(frame, st)
         return st
 
+    def _feed_ots(self, frame: Frame):
+        """Per-table retrieval-utility update from this frame's matches
+        (reference OTS: Tracking::UpdateQueryNumByHashTable Tracking.cc:3111)."""
+        if self.mih is None or not self.cfg.hashing.enabled:
+            return
+        has = frame.mp_ids >= 0
+        if not has.any():
+            return
+        self.mih.update_query_scores(
+            frame.desc[has], self.store.point_desc[frame.mp_ids[has]])
+
     def _merge_additional_matches(self, frame: Frame):
         """Merge the leftover-candidate matches into the frame AFTER the KF
         policy ran (reference order: SearchAdditionalMatchesInFrame is called
@@ -826,6 +853,7 @@ class Tracker:
         tracked = frame.mp_ids[frame.mp_ids >= 0]
         s.point_found[tracked] += 1
         s.point_visible[pool_ids] += 1
+        self._feed_ots(frame)
         n_inl = int(d["n_inliers"])
         recently_reloc = (
             frame.frame_id - self._last_reloc_frame
@@ -911,6 +939,7 @@ class Tracker:
         tracked = frame.mp_ids[frame.mp_ids >= 0]
         s.point_found[tracked] += 1
         s.point_visible[pool_ids] += 1
+        self._feed_ots(frame)
         n_inl = int(n_inl_d)
         recently_reloc = (
             frame.frame_id - self._last_reloc_frame
@@ -1033,6 +1062,7 @@ class Tracker:
         tracked = frame.mp_ids[frame.mp_ids >= 0]
         s.point_found[tracked] += 1
         s.point_visible[pts] += 1
+        self._feed_ots(frame)
         n_inl = int(n_inl_d)
         recently_reloc = (
             frame.frame_id - self._last_reloc_frame
@@ -1084,12 +1114,40 @@ class Tracker:
         return False
 
     # ---------------------------------------------------------- lifecycle
+    def _charuco_anchor(self, frame: Frame):
+        """World-frame anchor from a ChArUco board in the first frame
+        (reference: INIT_WITH_ARUCHO — Tracking uses ChArUco::process to
+        set the initial pose instead of the identity, src/ChArUco.cc:92).
+        Returns (R_cw, t_cw) or None."""
+        if not self.cfg.charuco.enabled:
+            return None
+        raw = getattr(frame, "_raw_img", None)
+        if raw is None:
+            return None
+        from gf_orb_slam2_tpu.io.charuco import CharucoBoard, detect_board_pose
+
+        cc = self.cfg.charuco
+        cam = self.cfg.camera
+        K = np.asarray([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
+                       np.float64)
+        board = CharucoBoard(cc.squares_x, cc.squares_y, cc.square_len,
+                             cc.marker_len, cc.dictionary)
+        try:
+            return detect_board_pose(np.asarray(raw), board, K,
+                                     np.zeros(5))
+        except Exception:
+            return None
+
     def _stereo_initialization(self, frame: Frame) -> bool:
         if frame.n_kp < 500:
             return False
         s = self.store
-        frame.R = np.eye(3, dtype=np.float32)
-        frame.t = np.zeros(3, np.float32)
+        anchor = self._charuco_anchor(frame)
+        if anchor is not None:
+            frame.R, frame.t = anchor
+        else:
+            frame.R = np.eye(3, dtype=np.float32)
+            frame.t = np.zeros(3, np.float32)
         k = s.add_keyframe(
             frame.R, frame.t, frame.uv, frame.octave, frame.angle, frame.desc,
             frame.u_right, frame.depth, frame.valid, frame.frame_id, frame.timestamp,
@@ -1098,11 +1156,13 @@ class Tracker:
         good = frame.valid & (frame.depth > 0)
         idxs = np.nonzero(good)[0]
         z = frame.depth[idxs]
-        pts = np.stack([
+        pc = np.stack([
             (frame.uv[idxs, 0] - cam.cx) * z / cam.fx,
             (frame.uv[idxs, 1] - cam.cy) * z / cam.fy,
             z,
         ], -1).astype(np.float32)
+        # camera → world through the (possibly board-anchored) first pose
+        pts = (pc - frame.t) @ frame.R
         ids = s.add_points_batch(pts, frame.desc[idxs], k, k, idxs)
         frame.mp_ids[idxs] = ids
         s.update_normals_batch(ids, self.level_scales)

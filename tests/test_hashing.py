@@ -96,3 +96,40 @@ class TestHashingIntegration:
             sys_.track_frame(f)
         states = [s.state for s in sys_.tracker.stats]
         assert states[1:].count("OK") >= 23, states
+
+
+def test_ots_utility_selection_large_map():
+    """Reference OTS parity (Tracking.cc:3111): table activation follows
+    RETRIEVAL UTILITY from actual matches, not just load; the candidate
+    budget controller reacts to oversized retrievals. Exercised past the
+    2000-point hashing trigger."""
+    import numpy as np
+
+    from gf_orb_slam2_tpu.config import HashingConfig
+    from gf_orb_slam2_tpu.hashing.mih import MultiIndexHashing
+
+    rng = np.random.default_rng(0)
+    cfg = HashingConfig(enabled=True)
+    mih = MultiIndexHashing(cfg, 8192)
+    P = 4096  # > map_size_trigger
+    desc = rng.integers(0, 2 ** 32, (P, 8), dtype=np.uint32)
+    mih.insert(desc, np.arange(P, dtype=np.int32))
+    # matches whose descriptors agree with the stored points ONLY in the
+    # substrings of tables 0..3 (others corrupted): utility concentrates
+    q = desc[:256].copy()
+    qb = q.view(np.uint8).reshape(256, 32)
+    qb[:, 4:] = rng.integers(0, 256, (256, 28), dtype=np.uint8)  # keep t0..t3
+    for _ in range(5):
+        mih.update_query_scores(q, desc[:256])
+    mih.update_table_selection()
+    assert set(range(4)) <= set(int(t) for t in mih.active_tables), (
+        mih.active_tables)
+    # budget controller: oversized retrieval shrinks, small grows
+    b0 = mih.candidate_budget
+    mih.update_dynamics(100000)
+    assert mih.candidate_budget < b0
+    mih.update_dynamics(0)
+    assert mih.candidate_budget > b0 * 0.9 * 0.99
+    # query still returns candidates from the active tables
+    out = mih.query(desc[:64])
+    assert out.size > 0

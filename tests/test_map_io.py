@@ -39,3 +39,31 @@ class TestMapIO:
                 assert terr < 0.1, terr
         assert ok >= 8
         assert sys2.store.n_keyframes == n_kfs  # localization mode adds no KFs
+
+
+def test_keypoint_yaml_roundtrip(tmp_path):
+    """Reference parity: Frame::ExportToYML / KeyPointLog (Frame.cc:514)."""
+    import numpy as np
+
+    from gf_orb_slam2_tpu.io.keypoints import (
+        load_keypoints_yaml, save_keypoints_yaml,
+    )
+
+    class F:
+        frame_id = 7
+        timestamp = 1.25
+        uv = np.asarray([[10.5, 20.25], [30.0, 40.0]], np.float32)
+        octave = np.asarray([0, 2], np.int32)
+        angle = np.asarray([0.1, -1.2], np.float32)
+        response = np.asarray([12.0, 9.5], np.float32)
+        u_right = np.asarray([8.0, -1.0], np.float32)
+        depth = np.asarray([5.5, -1.0], np.float32)
+        valid = np.asarray([True, True])
+
+    p = tmp_path / "kp.yaml"
+    save_keypoints_yaml(p, F)
+    out = load_keypoints_yaml(p)
+    assert out["frame_id"] == 7
+    np.testing.assert_allclose(out["uv"], F.uv, atol=1e-3)
+    np.testing.assert_allclose(out["depth"], F.depth, atol=1e-3)
+    assert (out["octave"] == F.octave).all()

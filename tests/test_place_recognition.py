@@ -21,17 +21,23 @@ pytestmark = pytest.mark.skipif(
 
 
 def _places(n_per_image=6, w=640, h=480):
-    """Distinct 'places' = different crops of the two real images; each place
-    gets a second, warped view (rotation + scale + brightness) simulating a
-    revisit from a slightly different pose."""
+    """Distinct 'places' = crops of the two real images with BOUNDED overlap
+    (≲35% — different places genuinely look different; heavily-overlapping
+    crops are the same place and retrieval between them is undefined); each
+    place gets a second, warped view (rotation + scale + brightness)
+    simulating a revisit from a slightly different pose."""
     rng = np.random.default_rng(7)
     places = []
     for path in (EUROC, TUM):
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
         H, W = img.shape
+        n_cols = (n_per_image + 1) // 2
+        cw, ch = 320, 300
         for i in range(n_per_image):
-            x0 = int(i * (W - 420) / max(n_per_image - 1, 1))
-            crop = img[H - 360:, x0: x0 + 420]
+            col = i % n_cols
+            x0 = int(col * (W - cw) / max(n_cols - 1, 1))
+            y0 = 0 if i < n_cols else H - ch  # top row then bottom row
+            crop = img[y0: y0 + ch, x0: x0 + cw]
             v0 = cv2.resize(crop, (w, h))
             M = cv2.getRotationMatrix2D((w / 2, h / 2),
                                         rng.uniform(-8, 8),

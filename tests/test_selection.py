@@ -124,3 +124,61 @@ class TestGreedy:
         valid = jnp.zeros(100, bool).at[:10].set(True)
         sel, order = gf.lazier_greedy_select(M, valid, 30, jax.random.PRNGKey(0))
         assert int(sel.sum()) == 10
+
+
+class TestHybrid13:
+    def test_info13_psd_and_selection(self):
+        """Hybrid 13x13 mode (reference: USE_HYBRID_INFO_MATRIX,
+        Tracking.cc:271-274): matrices PSD, greedy selection runs at D=13."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gf_orb_slam2_tpu.selection import good_feature, observability
+
+        rng = np.random.default_rng(0)
+        P = 64
+        pts = jnp.asarray(np.stack(
+            [rng.uniform(-3, 3, P), rng.uniform(-2, 2, P),
+             rng.uniform(3, 10, P)], -1), jnp.float32)
+        q = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+        p = jnp.zeros(3, jnp.float32)
+        M = observability.info_matrices_13(
+            q, p, pts, 450.0, 450.0, 45.0,
+            jnp.ones(P, bool), jnp.ones(P, jnp.float32), jnp.ones(P, bool))
+        assert M.shape == (P, 13, 13)
+        evs = np.linalg.eigvalsh(np.asarray(M[0]))
+        assert evs.min() > -1e-2
+        sel, order = good_feature.lazier_greedy_select(
+            M, jnp.ones(P, bool), 10, jax.random.PRNGKey(0))
+        assert int(sel.sum()) == 10
+
+    def test_som_rank_grows_with_segments(self):
+        """SOM (reference: compute_SOM_In_Segment Observability.cc:34): the
+        stripe matrix over multiple kinematic segments gains rank on the
+        velocity columns that a single measurement cannot observe."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gf_orb_slam2_tpu.selection import observability
+
+        rng = np.random.default_rng(1)
+        P = 8
+        pts = jnp.asarray(np.stack(
+            [rng.uniform(-3, 3, P), rng.uniform(-2, 2, P),
+             rng.uniform(3, 10, P)], -1), jnp.float32)
+        q = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+        p = jnp.zeros(3, jnp.float32)
+        v = jnp.asarray([0.5, 0, 0.2], jnp.float32)
+        w = jnp.asarray([0.0, 0.1, 0.0], jnp.float32)
+        som1 = observability.som_matrices(
+            q, p, v, w, [0.1], pts, 450.0, 450.0, 45.0, jnp.ones(P, bool))
+        som3 = observability.som_matrices(
+            q, p, v, w, [0.1, 0.1, 0.1], pts, 450.0, 450.0, 45.0,
+            jnp.ones(P, bool))
+        assert som1.shape == (P, 3, 13)
+        assert som3.shape == (P, 9, 13)
+        # stack all points' stripes: rank over the full state
+        r1 = np.linalg.matrix_rank(np.asarray(som1).reshape(-1, 13), tol=1e-4)
+        r3 = np.linalg.matrix_rank(np.asarray(som3).reshape(-1, 13), tol=1e-4)
+        assert r3 > r1
