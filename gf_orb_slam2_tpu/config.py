@@ -195,9 +195,12 @@ class TrackingConfig:
     min_inliers_local_map: int = 30
     # motion-model search radius (reference: ORBmatcher SearchByProjection th=7/15)
     proj_search_radius: float = 7.0
-    # pose optimizer: rounds × iters with chi2 gating (reference: Optimizer.cc:248 — 4×10)
-    pose_opt_rounds: int = 4
-    pose_opt_iters: int = 10
+    # pose optimizer: rounds × iters with chi2 gating. Reference runs 4×10
+    # (Optimizer.cc:248); with LM step acceptance the solve converges well
+    # inside 3×8 (ATE-validated on the rendered real-texture sequences —
+    # the scan length is pure per-frame device latency, 2 solves/frame)
+    pose_opt_rounds: int = 3
+    pose_opt_iters: int = 8
     # relocalization enabled (reference: Tracking.h DISABLE_RELOC)
     enable_reloc: bool = True
     # max consecutive lost frames before hard reset (reference: System.cc:195-209)

@@ -358,6 +358,8 @@ class Tracker:
         res = pose_opt.pose_optimization(
             R0, t0, new_pos, kp_uv, jnp.where(new_valid, kp_ur, -1.0),
             inv_sigma2, new_valid, fx, fy, cx, cy, bf,
+            rounds=self.cfg.tracking.pose_opt_rounds,
+            iters=self.cfg.tracking.pose_opt_iters,
         )
         kp_row_add = jnp.full((n,), -1, jnp.int32)
         if gf_cfg.enabled and gf_cfg.search_additional and mode != GFMatchingMode.ALL:
