@@ -154,14 +154,17 @@ def trajectory_arc(n_frames: int, radius=1.2, yaw_amp=0.35,
 
 
 def trajectory_loop(n_frames: int, radius=2.0, center=(0.0, 0.0, 5.0)):
-    """Closed circular trajectory (camera orbits facing forward along the
-    path): ends where it starts → a genuine revisit for loop closing."""
+    """Closed circular trajectory: the camera orbits the room center FACING
+    INWARD (scene points stay several meters away, so the rotational optical
+    flow is trackable) and ends exactly where it started → a genuine revisit
+    for loop closing."""
     poses = []
     c = np.asarray(center, np.float32)
     for i in range(n_frames):
         a = 2 * np.pi * i / n_frames
         pos = c + np.asarray([radius * np.sin(a), 0.0,
                               -radius * np.cos(a)], np.float32)
-        yaw = a  # tangent heading
+        d = c - pos  # look at the orbit center
+        yaw = float(np.arctan2(d[0], d[2]))
         poses.append(yaw_pose(yaw, pos))
     return poses
