@@ -240,6 +240,13 @@ class LoopClosingConfig:
     min_sim3_inliers: int = 20
     min_total_matches: int = 40  # LoopClosing.cc post-opt gate
     essential_graph_min_weight: int = 100
+    # Temporal exclusion: a loop candidate must be at least this many FRAMES
+    # older than the current KF. The reference relies on covisibility alone
+    # to exclude neighbors (KeyFrameDatabase.cc:84), which works when
+    # consecutive KFs share >15 points; starvation-triggered KFs can share
+    # fewer, letting a near-adjacent KF pose as a "loop". Frame ids are used
+    # (not KF slot ids, which the free-slot ring reuses after culling).
+    min_frame_gap: int = 60
 
 
 @dataclasses.dataclass(frozen=True)

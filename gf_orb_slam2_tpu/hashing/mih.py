@@ -125,8 +125,11 @@ class MultiIndexHashing:
         tables that would have retrieved the matched landmarks score up).
 
         Table t retrieves point p for query q iff their t-th 8-bit substring
-        agrees; with [M,8]-u32 descriptors that is a bytewise comparison."""
-        if len(kp_desc) == 0:
+        agrees; with [M,8]-u32 descriptors that is a bytewise comparison —
+        which only matches the native substring() extraction (mih.cpp) when
+        bits_per_substring == 8, so other geometries skip the utility update
+        (OTS then falls back to load-based table selection)."""
+        if len(kp_desc) == 0 or self.cfg.bits_per_substring != 8:
             return
         qa = np.ascontiguousarray(kp_desc, np.uint32).view(np.uint8)
         pa = np.ascontiguousarray(pt_desc, np.uint32).view(np.uint8)

@@ -80,6 +80,11 @@ class LoopCloser:
             return []
         min_score = self.kfdb.min_covis_score(kf)
         cands = self.kfdb.detect_loop_candidates(kf, max(min_score, 1e-3))
+        # temporal exclusion (see LoopClosingConfig.min_frame_gap): a loop
+        # partner must be genuinely old, not a weakly-covisible neighbor
+        gap = self.cfg.loop.min_frame_gap
+        cands = [c for c in cands
+                 if s.kf_frame_id[kf] - s.kf_frame_id[c] >= gap]
         st.n_candidates = len(cands)
         if not cands:
             self._consistent = []
@@ -207,15 +212,17 @@ class LoopCloser:
     def _correct_loop(self, kf: int, loop_kf: int, s12, R12, t12, st: LoopStats):
         """Reference: CorrectLoop (LoopClosing.cc:424) + OptimizeEssentialGraph.
 
-        s12,R12,t12: Sim3 taking kf-camera coords into loop_kf-camera coords.
-        Corrected kf pose: S_cw(kf) = S_12⁻¹? — we directly compose:
-        corrected T_cw(kf) = Sim3(s12,R12,t12)⁻¹ ∘ T_cw(loop_kf)?? No:
-        points seen in loop_kf frame map into kf frame by S21. The corrected
-        world pose of kf: S_kf_corr = S12_inv_as_pose ∘ T_loop? We follow the
-        reference: Scw_corrected(kf) = S12 ... Actually reference computes
-        mScw = gScm * Converter(pMatchedKF->GetPose()) where gScm maps
-        matched-KF camera → current camera. Our (s12,R12,t12) maps current →
-        matched, so S_current_corrected = S12⁻¹ ∘ T_cw(loop_kf).
+        Convention (pinned by tests/test_sim3.py::test_correct_loop_convention):
+        (s12, R12, t12) maps CURRENT-KF camera coords into LOOP-KF camera
+        coords (solve_sim3's pc2 ≈ s·R·pc1 + t with pc1 from kf, pc2 from
+        loop_kf). The corrected world→camera Sim3 of the current KF is
+
+            S_cw(kf) = S12⁻¹ ∘ T_cw(loop_kf)
+
+        — a world point lands in the loop KF's camera via its (trusted) pose,
+        then S12⁻¹ carries it into the current KF's camera. This equals the
+        reference's mScw = gScm · T_cw(matched) with gScm mapping matched→
+        current camera, i.e. gScm = our S12⁻¹ (LoopClosing.cc:300-420).
         """
         s = self.store
         si, Ri, ti = lie.sim3_inv(

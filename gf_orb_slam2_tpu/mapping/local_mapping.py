@@ -66,6 +66,8 @@ class LocalMapper:
         self._jit_fuse = jax.jit(self._fuse_impl)
         self._ba_shapes = {}
         self.stats: List[MappingStats] = []
+        # accumulated sub-threshold BA corrections not yet mirror-synced
+        self._unsynced_drift = np.zeros(cfg.capacity.max_map_points, np.float32)
 
     # ------------------------------------------------------------- pipeline
     def process_keyframe(self, kf: int, skip_ba: bool = False) -> MappingStats:
@@ -526,10 +528,17 @@ class LocalMapper:
             new_pos = np.asarray(res.pt_pos)[:P][live]
             # only mirror-sync points that actually moved: converged BA leaves
             # most positions within noise, and the delta upload rides the
-            # relay's per-byte budget (slammap/device_mirror.py)
-            moved = np.abs(new_pos - s.point_pos[pts[live]]).max(axis=1) > 1e-4
-            s.point_pos[pts[live]] = new_pos
-            s.mark_dirty(pts[live][moved])
+            # relay's per-byte budget (slammap/device_mirror.py). Sub-threshold
+            # corrections ACCUMULATE per point (vs a compare against the
+            # already-updated host value, under which repeated small BA nudges
+            # would drift the device copy away without bound).
+            ids_live = pts[live]
+            delta = np.abs(new_pos - s.point_pos[ids_live]).max(axis=1)
+            self._unsynced_drift[ids_live] += delta
+            moved = self._unsynced_drift[ids_live] > 1e-4
+            s.point_pos[ids_live] = new_pos
+            s.mark_dirty(ids_live[moved])
+            self._unsynced_drift[ids_live[moved]] = 0.0
             # outlier observation removal (reference: Optimizer.cc:1490-1520)
             inl = np.asarray(res.obs_inlier)[:P]
             bad_p, bad_o = np.nonzero(obs_valid & ~inl & live[:, None])
@@ -590,7 +599,10 @@ class LocalMapper:
 
             lb = self.cfg.local_ba
             gg = self.cfg.good_graph
-            n_max = int(min(gg.max_pool, 30))
+            # selection scan bound = the FULL pool (reference parity:
+            # Optimizer.h:44-45 pool cap 60); anticipation budgets in
+            # [2, max_pool] are honored without truncation
+            n_max = int(gg.max_pool)
 
             def run(u, kfm, ptm, k, ns):
                 pr = self._build_problem_on_device(u, kfm, ptm)

@@ -133,14 +133,16 @@ def search_by_sim3(
 ):
     """Cross-projection matching between two keyframes under a Sim3 guess
     (reference: SearchBySim3 ORBmatcher.cc:406). pc1/pc2 are camera-frame
-    points of each KF; cam_project(pc)→(uv,z). Returns Matches 1→2."""
+    points of each KF; (s12,R12,t12) maps cam1 coords INTO cam2 coords
+    (pc2 ≈ s·R·pc1 + t, the Sim3Result convention of sim3solver.solve_sim3);
+    cam_project(pc)→(uv,z). Returns Matches 1→2."""
     from gf_orb_slam2_tpu.geometry import lie
 
-    p2in1 = lie.sim3_apply(s12, R12, t12, pc2)  # map KF2 points into cam1
-    uv2in1, z2 = cam_project(p2in1)
-    s21, R21, t21 = lie.sim3_inv(s12, R12, t12)
-    p1in2 = lie.sim3_apply(s21, R21, t21, pc1)
+    p1in2 = lie.sim3_apply(s12, R12, t12, pc1)  # map KF1 points into cam2
     uv1in2, z1 = cam_project(p1in2)
+    s21, R21, t21 = lie.sim3_inv(s12, R12, t12)
+    p2in1 = lie.sim3_apply(s21, R21, t21, pc2)  # map KF2 points into cam1
+    uv2in1, z2 = cam_project(p2in1)
     uv1, _ = cam_project(pc1)
     uv2, _ = cam_project(pc2)
     # match 1→2 in image 2 and 2→1 in image 1; accept agreement

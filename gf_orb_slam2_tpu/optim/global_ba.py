@@ -47,9 +47,6 @@ class GlobalBARunner:
         self._windows = []  # list of (kfs, pts, prob) built lazily per window
         self._results = {}  # kf id -> (R, t); point id -> pos kept separately
         self._pt_results = {}
-        self._old_R = None
-        self._old_t = None
-        self._snap_kfs = None
 
     # ------------------------------------------------------------------ build
     def build(self) -> bool:
@@ -60,9 +57,6 @@ class GlobalBARunner:
             kfs_all = s.valid_kf_ids()
             if kfs_all.size < 2:
                 return False
-            self._snap_kfs = kfs_all.copy()
-            self._old_R = s.kf_R.copy()
-            self._old_t = s.kf_t.copy()
             W = self.window_kfs
             if kfs_all.size <= W:
                 chunks = [kfs_all]
@@ -198,6 +192,14 @@ class GlobalBARunner:
         s = self.store
         with s.lock:
             kfs_now = s.valid_kf_ids()
+            # pre-correction snapshot of CURRENT poses (reference: mTcwBefGBA,
+            # LoopClosing.cc:720-780). Relative child→parent transforms must
+            # be computed from poses as they stand NOW — using the build-time
+            # snapshot (_old_R/_old_t) breaks when the parent is itself a
+            # post-snapshot KF (its slot held stale/identity contents then) or
+            # was moved by local BA during the solve.
+            before_R = s.kf_R.copy()
+            before_t = s.kf_t.copy()
             optimized = set()
             for k in kfs_now:
                 k = int(k)
@@ -205,7 +207,8 @@ class GlobalBARunner:
                     R, t = self._results[k]
                     s.set_kf_pose(k, R, t)
                     optimized.add(k)
-            # new / unsolved KFs: child = T_child_parent_old ∘ parent_new
+            # new / unsolved KFs: child = T_child_parent_before ∘ parent_new,
+            # walking the spanning tree root-ward to the nearest solved KF
             for k in kfs_now:
                 k = int(k)
                 if k in optimized:
@@ -217,8 +220,8 @@ class GlobalBARunner:
                     hops += 1
                 if parent < 0 or parent not in optimized:
                     continue
-                R_rel = s.kf_R[k] @ self._old_R[parent].T
-                t_rel = s.kf_t[k] - R_rel @ self._old_t[parent]
+                R_rel = before_R[k] @ before_R[parent].T
+                t_rel = before_t[k] - R_rel @ before_t[parent]
                 s.set_kf_pose(k, R_rel @ s.kf_R[parent],
                               R_rel @ s.kf_t[parent] + t_rel)
                 optimized.add(k)
@@ -232,20 +235,19 @@ class GlobalBARunner:
                     [self._pt_results[int(p)] for p in solved_ids])
                 s.mark_dirty(solved_ids)
                 moved[solved_ids] = True
-            snap = set(int(k) for k in self._snap_kfs)
             for k in kfs_now:
                 k = int(k)
-                if k not in snap:
-                    # KF created during the solve: its points were triangulated
-                    # against post-snapshot poses — the old-pose re-anchor
-                    # transform does not apply to them
-                    continue
+                if k not in optimized:
+                    continue  # no corrected pose to anchor through
                 p_list = s.kf_point[k]
                 p_list = np.unique(p_list[p_list >= 0])
                 p_list = p_list[s.point_valid[p_list] & ~moved[p_list]]
                 if not p_list.size:
                     continue
-                pc = s.point_pos[p_list] @ self._old_R[k].T + self._old_t[k]
+                # positions are consistent with the PRE-correction pose (even
+                # for KFs created or locally-BA'd during the solve): express
+                # in that camera frame, re-emit through the corrected pose
+                pc = s.point_pos[p_list] @ before_R[k].T + before_t[k]
                 s.point_pos[p_list] = (pc - s.kf_t[k]) @ s.kf_R[k]
                 s.mark_dirty(p_list)
                 moved[p_list] = True

@@ -32,12 +32,19 @@ HUBER_MONO = 2.4477
 HUBER_STEREO = 2.7955
 
 
+def _point_axes(mesh: Mesh):
+    """All mesh axes — point-major arrays shard over the whole mesh."""
+    return tuple(mesh.axis_names)
+
+
 def build_distributed_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4):
     """Returns a jitted function performing `iters` LM iterations of
-    point-sharded BA. Point-major arrays must be sharded over DP_AXIS
-    (leading dim divisible by mesh size); KF arrays are replicated."""
+    point-sharded BA. Point-major arrays must be sharded over the mesh
+    (leading dim divisible by mesh size); KF arrays are replicated. Works on
+    1-axis and multi-axis meshes (reductions run over all axes)."""
 
-    point_spec = P(DP_AXIS)
+    axes = _point_axes(mesh)
+    point_spec = P(axes if len(axes) > 1 else axes[0])
     rep = P()
 
     def shard_body(kf_R, kf_t, kf_fixed, kf_valid,
@@ -83,10 +90,10 @@ def build_distributed_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4):
         bs_corr_loc = einsum("pkac,pc->ka", T1V, bl)
 
         # ---- THE collective: reduce the camera system over the mesh (ICI)
-        Hpp = jax.lax.psum(Hpp_loc, DP_AXIS)
-        bp = jax.lax.psum(bp_loc, DP_AXIS)
-        S_cross = jax.lax.psum(S_cross_loc, DP_AXIS)
-        bs_corr = jax.lax.psum(bs_corr_loc, DP_AXIS)
+        Hpp = jax.lax.psum(Hpp_loc, axes)
+        bp = jax.lax.psum(bp_loc, axes)
+        S_cross = jax.lax.psum(S_cross_loc, axes)
+        bs_corr = jax.lax.psum(bs_corr_loc, axes)
 
         D6 = jnp.eye(6, dtype=Hpp.dtype)[None] * (
             damping + lam + einsum("kii->k", Hpp)[:, None, None] / 6.0 * lam
@@ -112,7 +119,7 @@ def build_distributed_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4):
             cc = _chi2(rr, obs_inv2, is_stereo)
             ee = jnp.sqrt(jnp.maximum(cc, 1e-12))
             rho = jnp.where(ee <= delta, cc, 2.0 * delta * ee - delta * delta)
-            return jax.lax.psum(jnp.sum(jnp.where(active, rho, 0.0)), DP_AXIS)
+            return jax.lax.psum(jnp.sum(jnp.where(active, rho, 0.0)), axes)
 
         cost_old = cost_of(kf_R, kf_t, pt_pos)
         cost_new = cost_of(kf_R_new, kf_t_new, pt_new)
@@ -144,7 +151,7 @@ def build_distributed_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4):
 
 
 def build_pcg_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4,
-                      pcg_iters: int = 48):
+                      pcg_iters: int = 48, scatter_axis: str | None = None):
     """KF-SHARDED distributed BA step: points sharded as in
     build_distributed_ba_step, but the reduced camera system is never
     replicated — `psum_scatter` hands each device a ROW BLOCK of S
@@ -158,9 +165,13 @@ def build_pcg_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4,
     pcg_iters × all_gather([K,6]) — both ride ICI inside a host; across
     hosts the same program lays the scatter on DCN (mesh axis order decides).
     """
-    point_spec = P(DP_AXIS)
+    axes = _point_axes(mesh)
+    point_spec = P(axes if len(axes) > 1 else axes[0])
     rep = P()
-    n_dev = mesh.devices.size
+    if scatter_axis is None:
+        scatter_axis = axes[0]
+    other_axes = tuple(a for a in axes if a != scatter_axis)
+    n_scatter = mesh.shape[scatter_axis]
 
     def shard_body(kf_R, kf_t, kf_fixed, kf_valid,
                    pt_pos, pt_valid, obs_kf, obs_uv, obs_ur, obs_inv2,
@@ -206,13 +217,19 @@ def build_pcg_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4,
 
         # small replicated pieces (diagonal + rhs) by psum; the O(K²) body
         # by reduce-scatter → each device owns rows [K/D, K, 6, 6]
-        Hpp = jax.lax.psum(Hpp_loc, DP_AXIS)
-        bp = jax.lax.psum(bp_loc, DP_AXIS)
-        bs_corr = jax.lax.psum(bs_corr_loc, DP_AXIS)
+        Hpp = jax.lax.psum(Hpp_loc, axes)
+        bp = jax.lax.psum(bp_loc, axes)
+        bs_corr = jax.lax.psum(bs_corr_loc, axes)
+        # camera-system rows: reduce over the NON-scatter axes first (ICI),
+        # then reduce-scatter along the scatter axis (DCN on a 2D host×chip
+        # mesh) — each device along the scatter axis owns a row block; devices
+        # differing only in the other axes hold identical copies
+        S_pre = (jax.lax.psum(-S_cross_loc, other_axes) if other_axes
+                 else -S_cross_loc)
         S_rows = jax.lax.psum_scatter(
-            -S_cross_loc, DP_AXIS, scatter_dimension=0, tiled=True)
-        Kb = K // n_dev
-        idx = jax.lax.axis_index(DP_AXIS)
+            S_pre, scatter_axis, scatter_dimension=0, tiled=True)
+        Kb = K // n_scatter
+        idx = jax.lax.axis_index(scatter_axis)
         row_ids = idx * Kb + jnp.arange(Kb)
         D6 = jnp.eye(6, dtype=Hpp.dtype)[None] * (
             damping + lam + einsum("kii->k", Hpp)[:, None, None] / 6.0 * lam
@@ -234,7 +251,7 @@ def build_pcg_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4,
         def matvec(x):                               # x [K,6] replicated
             y_loc = einsum("rkab,kb->ra", S_rows, x)  # my rows
             return jax.lax.all_gather(
-                y_loc, DP_AXIS, axis=0, tiled=True)   # [K,6]
+                y_loc, scatter_axis, axis=0, tiled=True)   # [K,6]
 
         def pcg(b):
             x = jnp.zeros_like(b)
@@ -272,7 +289,7 @@ def build_pcg_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4,
             cc = _chi2(rr2, obs_inv2, is_stereo)
             ee = jnp.sqrt(jnp.maximum(cc, 1e-12))
             rho = jnp.where(ee <= delta, cc, 2.0 * delta * ee - delta * delta)
-            return jax.lax.psum(jnp.sum(jnp.where(active, rho, 0.0)), DP_AXIS)
+            return jax.lax.psum(jnp.sum(jnp.where(active, rho, 0.0)), axes)
 
         cost_old = cost_of(kf_R, kf_t, pt_pos)
         cost_new = cost_of(kf_R_new, kf_t_new, pt_new)
@@ -317,14 +334,17 @@ def build_pcg_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4,
 
 
 def distributed_ba(mesh, prob: LocalBAProblem, fx, fy, cx, cy, bf, iters=10,
-                   kf_sharded: bool = False):
+                   kf_sharded: bool = False, scatter_axis: str | None = None):
     """Run `iters` distributed LM iterations. Arrays are placed with the
     right shardings; returns updated (kf_R, kf_t, pt_pos, cost).
     kf_sharded=True uses the reduce-scatter + PCG camera solve (K must be
-    divisible by the mesh size)."""
-    step = (build_pcg_ba_step(mesh, fx, fy, cx, cy, bf) if kf_sharded
+    divisible by the scatter-axis size). On a 2D host×chip mesh pass
+    scatter_axis=HOST_AXIS to lay the camera-system scatter on DCN."""
+    step = (build_pcg_ba_step(mesh, fx, fy, cx, cy, bf,
+                              scatter_axis=scatter_axis) if kf_sharded
             else build_distributed_ba_step(mesh, fx, fy, cx, cy, bf))
-    point_sharding = NamedSharding(mesh, P(DP_AXIS))
+    axes = _point_axes(mesh)
+    point_sharding = NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0]))
     rep_sharding = NamedSharding(mesh, P())
     kf_R = jax.device_put(prob.kf_R, rep_sharding)
     kf_t = jax.device_put(prob.kf_t, rep_sharding)

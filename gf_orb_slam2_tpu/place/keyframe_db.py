@@ -45,6 +45,13 @@ class KeyFrameDatabase:
             post[0].append(kf)
             post[1].append(x)
 
+    def clear(self):
+        """Reference: KeyFrameDatabase::clear (on system reset)."""
+        self.present[:] = False
+        self._kf_words = [None] * len(self._kf_words)
+        self._kf_weights = [None] * len(self._kf_weights)
+        self._postings.clear()
+
     def erase(self, kf: int):
         """Reference: KeyFrameDatabase::erase — drop the KF's postings."""
         if not self.present[kf]:

@@ -161,6 +161,143 @@ class Vocabulary:
         n = np.linalg.norm(wt)
         return ids.astype(np.int64), wt / max(n, 1e-9)
 
+    # ------------------------------------------------------- DBoW2 interop
+    @staticmethod
+    def _from_dbow2_nodes(k: int, L: int, parents, descs, weights, is_leaf):
+        """Embed a (possibly incomplete) DBoW2 tree into the dense complete
+        k^L layout this class transforms over.
+
+        DBoW2 trees (reference: TemplatedVocabulary.h load/loadFromBinaryFile
+        :1380/:1469) store explicit parent links; interior nodes may have
+        fewer than k children and leaves may sit above level L. Embedding:
+        real children fill the leading slots of their parent's child block,
+        the remaining slots are PADDED WITH A COPY of the first real child's
+        descriptor — argmin takes the first minimum, so a padded slot can
+        never win against its earlier identical sibling and its subtree is
+        unreachable. An early leaf continues as its own single child down to
+        level L. Leaf idf weights land on the complete-leaf slots.
+        """
+        n_nodes = len(parents) - 1  # parents[0] is a dummy; nodes are 1..n
+        children: list = [[] for _ in range(n_nodes + 1)]
+        for nid in range(1, n_nodes + 1):
+            children[parents[nid]].append(nid)
+        centers = [np.zeros((k ** (l + 1), 8), np.uint32) for l in range(L)]
+        leaf_w = np.zeros(k ** L, np.float32)
+        # BFS: (node id or -1 for virtual early-leaf continuation, complete
+        # index at current level, level)
+        frontier = [(0, 0)]  # (node, complete index) at level -1 (root)
+        for lvl in range(L):
+            nxt = []
+            for node, ci in frontier:
+                kids = children[node] if node >= 0 else []
+                base = ci * k
+                if kids:
+                    first_desc = descs[kids[0] - 1]
+                    for j in range(k):
+                        if j < len(kids):
+                            c = kids[j]
+                            centers[lvl][base + j] = descs[c - 1]
+                            nxt.append((c, base + j))
+                            if is_leaf[c] and lvl == L - 1:
+                                leaf_w[base + j] = weights[c - 1]
+                            elif is_leaf[c]:
+                                # early leaf: continue as its own child
+                                nxt[-1] = (-(c), base + j)
+                        else:
+                            centers[lvl][base + j] = first_desc
+                else:
+                    # early-leaf continuation (or root of empty tree): fill
+                    # the whole child block with the leaf's descriptor so the
+                    # argmin tie resolves to slot 0 (earliest index) and the
+                    # other slots stay unreachable
+                    c = -node
+                    d = descs[c - 1] if c >= 1 else np.zeros(8, np.uint32)
+                    centers[lvl][base: base + k] = d
+                    nxt.append((node, base))
+                    if lvl == L - 1 and c >= 1:
+                        leaf_w[base] = weights[c - 1]
+            frontier = nxt
+        voc = Vocabulary(centers, k)
+        voc.idf = leaf_w
+        return voc
+
+    @staticmethod
+    def load_dbow2_text(path) -> "Vocabulary":
+        """Load a DBoW2 text vocabulary (reference format:
+        TemplatedVocabulary::loadFromTextFile TemplatedVocabulary.h:1380 —
+        header 'k L scoring weighting', then one node per line:
+        'parent is_leaf d0..d31 weight'). A real ORBvoc.txt drops in here."""
+        with open(path, "r") as f:
+            header = f.readline().split()
+            k, L = int(header[0]), int(header[1])
+            parents = [0]  # 1-indexed; dummy slot 0
+            descs = []
+            weights = []
+            is_leaf = [False]
+            for line in f:
+                parts = line.split()
+                if len(parts) < 35:
+                    continue
+                parents.append(int(parts[0]))
+                is_leaf.append(int(parts[1]) > 0)
+                d = np.asarray([int(x) for x in parts[2:34]], np.uint8)
+                descs.append(d.view(np.uint32))
+                weights.append(float(parts[34]))
+        return Vocabulary._from_dbow2_nodes(
+            k, L, parents, np.stack(descs), np.asarray(weights, np.float32),
+            is_leaf)
+
+    @staticmethod
+    def load_dbow2_binary(path) -> "Vocabulary":
+        """Load the fork's binary vocabulary format (reference:
+        TemplatedVocabulary::loadFromBinaryFile TemplatedVocabulary.h:1469;
+        written by tools/bin_vocabulary.cc): header = u32 nb_nodes,
+        u32 size_node, i32 k, i32 L, i32 scoring, i32 weighting; per node:
+        i32 parent, 32 desc bytes, f32 weight, u8 is_leaf."""
+        with open(path, "rb") as f:
+            head = np.frombuffer(f.read(8), np.uint32)
+            nb_nodes, size_node = int(head[0]), int(head[1])
+            k, L, _scoring, _weighting = np.frombuffer(f.read(16), np.int32)
+            raw = f.read(nb_nodes * size_node)
+        rec = np.frombuffer(raw[: nb_nodes * size_node], np.uint8)
+        rec = rec.reshape(nb_nodes, size_node)
+        parents = [0] + [int(x) for x in rec[:, :4].copy().view(np.int32)[:, 0]]
+        descs = np.ascontiguousarray(rec[:, 4:36]).view(np.uint32)
+        weights = np.ascontiguousarray(rec[:, 36:40]).view(np.float32)[:, 0]
+        is_leaf = [False] + [bool(x) for x in rec[:, 40]]
+        return Vocabulary._from_dbow2_nodes(
+            int(k), int(L), parents, descs, weights.astype(np.float32),
+            is_leaf)
+
+    @staticmethod
+    def load_dbow2(path) -> "Vocabulary":
+        """Extension-dispatched loader (reference: System.cc:78-84 picks the
+        text or binary loader by file suffix)."""
+        p = str(path)
+        if p.endswith(".bin"):
+            return Vocabulary.load_dbow2_binary(p)
+        return Vocabulary.load_dbow2_text(p)
+
+    def save_dbow2_text(self, path):
+        """Export THIS (complete-tree) vocabulary in DBoW2 text format, e.g.
+        to hand a trained vocabulary back to the reference stack."""
+        with open(path, "w") as f:
+            f.write(f"{self.k} {self.levels} 0 0\n")
+            # node ids: root=0; level l block starts after all shallower nodes
+            offsets = [1]
+            for l in range(self.levels):
+                offsets.append(offsets[-1] + self.centers[l].shape[0])
+            for l in range(self.levels):
+                cents = self.centers[l]
+                leaf = l == self.levels - 1
+                for i in range(cents.shape[0]):
+                    parent = 0 if l == 0 else offsets[l - 1] + i // self.k
+                    d = cents[i].view(np.uint8)
+                    w = float(self.idf[i]) if leaf else 0.0
+                    f.write(f"{parent} {int(leaf)} "
+                            + " ".join(str(int(x)) for x in d)
+                            + f" {w}\n")
+
     # ---------------------------------------------------------------- io
     def save(self, path):
         np.savez_compressed(

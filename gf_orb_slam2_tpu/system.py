@@ -598,6 +598,15 @@ class System:
         """Reference: System::Reset (System.cc:376) → Tracking::Reset."""
         if self._map_worker is not None:
             self._map_worker.wait_idle()
+        if self.loop_closer is not None:
+            # a GBA launched before the reset must not write old-map poses
+            # onto reused slot ids of the fresh map (reference: Tracking::Reset
+            # calls LoopClosing::RequestReset which joins the GBA thread)
+            self.loop_closer.abort_gba()
+            self.loop_closer._consistent.clear()
+            self.loop_closer.last_loop_kf = -1
+        if self.kfdb is not None:
+            self.kfdb.clear()
         self._inflight.clear()
         self.tracker._chain = None
         self.store.clear()
@@ -610,7 +619,8 @@ class System:
 
     def shutdown(self):
         """Drain the streaming pipeline and stop its fetcher thread
-        (reference: System::Shutdown System.cc:382 joins its threads)."""
+        (reference: System::Shutdown System.cc:382 joins its threads and
+        waits for a running global BA — isRunningGBA loop)."""
         self.flush_pipeline()
         if self._fetcher is not None:
             self._fetcher.stop()
@@ -618,6 +628,8 @@ class System:
         if self._map_worker is not None:
             self._map_worker.stop()
             self._map_worker = None
+        if self.loop_closer is not None:
+            self.loop_closer.wait_gba()
 
     # ----------------------------------------------------------- map io
     def save_map(self, path):

@@ -1289,8 +1289,21 @@ class Tracker:
             ratio = 0.9
         c1a = frames_since_kf >= tcfg.max_frames_between_kf
         c1b = frames_since_kf >= tcfg.min_frames_between_kf
+        # c1c (reference Tracking.cc:1984): tracking is weak — insert now
+        c1c = (self.cfg.sensor != Sensor.MONOCULAR
+               and n_tracked < n_ref * 0.25)
+        # Starvation guard (TPU adaptation): on sweeping/yaw-dominant motion
+        # with few close points, n_ref (nobs>=3 points of the ref KF) can be
+        # so small that 0.75*n_ref sits BELOW the LOST threshold — tracking
+        # dies before c2 ever fires. The reference leans on
+        # bNeedToInsertClose for exactly this ("the key condition for stereo
+        # keyframe insertion ... resolves track loss", Tracking.cc:1952-1960),
+        # but that clause needs close-depth geometry; this floor generalizes
+        # it: insert a KF before the inlier count decays to the LOST floor.
+        starving = n_tracked < 2 * tcfg.min_inliers_local_map
         c2 = (n_tracked < n_ref * ratio or need_close) and n_tracked > 15
-        return bool((c1a or (c1b and c2) or need_close) and n_tracked > 15)
+        return bool((c1a or (c1b and c2) or c1c or need_close or starving)
+                    and n_tracked > 15)
 
     @property
     def close_depth_th(self) -> float:

@@ -153,15 +153,17 @@ def trajectory_arc(n_frames: int, radius=1.2, yaw_amp=0.35,
     return poses
 
 
-def trajectory_loop(n_frames: int, radius=2.0, center=(0.0, 0.0, 5.0)):
+def trajectory_loop(n_frames: int, radius=2.0, center=(0.0, 0.0, 5.0),
+                    loops=1.0):
     """Closed circular trajectory: the camera orbits the room center FACING
     INWARD (scene points stay several meters away, so the rotational optical
-    flow is trackable) and ends exactly where it started → a genuine revisit
-    for loop closing."""
+    flow is trackable). `loops` > 1 continues past the full circle so the
+    revisit overlap spans several keyframes — loop detection needs 3
+    consecutive consistent KFs (reference: LoopClosing.cc:216)."""
     poses = []
     c = np.asarray(center, np.float32)
     for i in range(n_frames):
-        a = 2 * np.pi * i / n_frames
+        a = 2 * np.pi * loops * i / n_frames
         pos = c + np.asarray([radius * np.sin(a), 0.0,
                               -radius * np.cos(a)], np.float32)
         d = c - pos  # look at the orbit center

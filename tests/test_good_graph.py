@@ -105,3 +105,55 @@ class TestGoodGraph:
         err_gg = run_with(sel_gg)
         err_sw = run_with(sel_sw)
         assert err_gg <= err_sw * 1.05, (err_gg, err_sw)
+
+
+class TestAnticipation:
+    def test_budget_distinguishes_exploration_from_reobservation(self):
+        """The anticipation budget must shrink the selected subgraph when the
+        predicted future views LEAVE the mapped area (exploration) and grow
+        it when they keep re-observing it (reference: the visible-count →
+        [100,800]ms budget → estimateKFNum chain, Optimizer.cc:1011-1131)."""
+        from gf_orb_slam2_tpu.config import (
+            CameraConfig, CapacityConfig, SystemConfig,
+        )
+        from gf_orb_slam2_tpu.selection.anticipation import (
+            anticipated_subgraph_size,
+        )
+        from gf_orb_slam2_tpu.slammap.store import MapStore
+
+        cfg = SystemConfig(camera=CameraConfig(
+            fx=450.0, fy=450.0, cx=320.0, cy=240.0, bf=45.0))
+        cap = CapacityConfig(max_map_points=4096, max_keyframes=8)
+        store = MapStore(cap, 64)
+        rng = np.random.default_rng(0)
+        # map: points straight ahead of the identity pose, 4-12 m out
+        pts = np.stack([rng.uniform(-2, 2, 1500), rng.uniform(-1.5, 1.5, 1500),
+                        rng.uniform(4, 12, 1500)], -1).astype(np.float32)
+        k = store.add_keyframe(
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            np.zeros((64, 2), np.float32), np.zeros(64, np.int32),
+            np.zeros(64, np.float32), np.zeros((64, 8), np.uint32),
+            np.full(64, -1.0, np.float32), np.full(64, -1.0, np.float32),
+            np.ones(64, bool))
+        store.add_points_batch(pts[:64], np.zeros((64, 8), np.uint32), k, k,
+                               np.arange(64))
+        store.point_pos[64:64 + len(pts) - 64] = pts[64:]
+        store.point_valid[: len(pts)] = True
+        R0 = np.eye(3, dtype=np.float32)
+        t0 = np.zeros(3, np.float32)
+        # re-observation: hold still (velocity = identity)
+        V_hold = np.eye(4, dtype=np.float32)
+        # exploration: fast yaw turning the camera away from the map
+        from gf_orb_slam2_tpu.geometry import lie
+        Ry, _ = lie.se3_exp(jnp.asarray([0, 0, 0, 0.0, 0.35, 0.0], jnp.float32))
+        V_turn = np.eye(4, dtype=np.float32)
+        V_turn[:3, :3] = np.asarray(Ry)
+        n_reobs = anticipated_subgraph_size(store, cfg, R0, t0, V_hold)
+        n_explore = anticipated_subgraph_size(store, cfg, R0, t0, V_turn)
+        assert n_reobs > n_explore, (n_reobs, n_explore)
+        gg = cfg.good_graph
+        # anticipated sizes are clipped to the pool, and the selection scan
+        # bound now equals the pool — the full [2, max_pool] range is
+        # reachable with no silent truncation (ADVICE r2 low#3)
+        assert 2 <= n_explore < n_reobs <= gg.max_pool
+        assert n_reobs > 30, "re-observation budget must exceed the old cap"

@@ -42,6 +42,33 @@ class TestSim3:
         assert bool(res.ok)
         assert float(res.s) == 1.0
 
+    def test_correct_loop_convention(self):
+        """Pin the Sim3 composition direction used by LoopCloser._correct_loop:
+        with (s12,R12,t12) mapping CURRENT-KF camera coords into LOOP-KF
+        camera coords (solve_sim3's output on (pc_kf, pc_loop) pairs),
+        S_cw(kf) = S12⁻¹ ∘ T_cw(loop_kf) must recover kf's TRUE world→cam
+        pose when the loop KF's pose is trusted."""
+        rng = np.random.default_rng(3)
+        # true world→cam poses of the two keyframes
+        xi_k = rng.uniform(-0.4, 0.4, 6).astype(np.float32)
+        xi_l = rng.uniform(-0.4, 0.4, 6).astype(np.float32)
+        R_k, t_k = lie.se3_exp(jnp.asarray(xi_k))
+        R_l, t_l = lie.se3_exp(jnp.asarray(xi_l))
+        Xw = jnp.asarray(rng.uniform(-2, 2, (50, 3)).astype(np.float32))
+        pc_kf = lie.transform(R_k, t_k, Xw)
+        pc_loop = lie.transform(R_l, t_l, Xw)
+        # ground-truth S12 from the same solver the loop closer uses
+        res = solve_sim3(pc_kf, pc_loop, jnp.ones(50, bool),
+                         FX, FY, CX, CY, jax.random.PRNGKey(0), fix_scale=True)
+        assert bool(res.ok)
+        # the composition from _correct_loop
+        si, Ri, ti = lie.sim3_inv(res.s, res.R, res.t)
+        s_c, R_c, t_c = lie.sim3_compose(
+            si, Ri, ti, jnp.float32(1.0), R_l, t_l)
+        np.testing.assert_allclose(np.asarray(R_c), np.asarray(R_k), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(t_c) / float(s_c),
+                                   np.asarray(t_k), atol=1e-2)
+
     def test_gn_refinement_improves(self):
         rng = np.random.default_rng(2)
         pc1, pc2, s_true, R_true, t_true = setup(rng, noise=0.02)
