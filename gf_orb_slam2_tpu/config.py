@@ -247,6 +247,11 @@ class LoopClosingConfig:
     # fewer, letting a near-adjacent KF pose as a "loop". Frame ids are used
     # (not KF slot ids, which the free-slot ring reuses after culling).
     min_frame_gap: int = 60
+    # Run the post-correction full BA inline instead of in a detached thread
+    # (reference spawns a thread, LoopClosing.cc:601). Inline makes results
+    # independent of host load — which KFs exist when the solve snapshot and
+    # write-back happen is then deterministic. Used by accuracy gates.
+    synchronous_gba: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -392,6 +392,9 @@ class LoopCloser:
             if runner.solve(lambda: self._gba_abort):
                 runner.write_back()
 
+        if self.cfg.loop.synchronous_gba:
+            run()
+            return
         self._gba_thread = threading.Thread(target=run, daemon=True)
         self._gba_thread.start()
 

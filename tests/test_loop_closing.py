@@ -3,7 +3,8 @@ import numpy as np
 import pytest
 
 from gf_orb_slam2_tpu.config import (
-    CameraConfig, CapacityConfig, ORBConfig, Sensor, SystemConfig,
+    CameraConfig, CapacityConfig, LoopClosingConfig, ORBConfig, Sensor,
+    SystemConfig,
 )
 from gf_orb_slam2_tpu.place.vocabulary import Vocabulary
 from gf_orb_slam2_tpu.system import System
@@ -151,7 +152,8 @@ class TestLoopClosingE2E:
         cap = CapacityConfig(max_keypoints=N_KP, max_map_points=40000,
                              max_keyframes=300, max_local_points=2048)
         cfg = SystemConfig(sensor=Sensor.STEREO, camera=cam, capacity=cap,
-                           orb=ORBConfig(n_features=N_KP))
+                           orb=ORBConfig(n_features=N_KP),
+                           loop=LoopClosingConfig(synchronous_gba=True))
         sys_ = System(cfg)
         # world: ring of landmarks around the circular path
         world = SyntheticWorld(12000, seed=13, extent=(1.0, 1.0, 1.0))
