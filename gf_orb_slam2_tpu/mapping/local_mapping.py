@@ -582,6 +582,7 @@ class LocalMapper:
                 return local_bundle_adjustment(
                     pr, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
                     iters_first=lb.iters_first, iters_second=lb.iters_second,
+                    free_cap=64,
                 )
 
             self._ba_shapes[key] = jax.jit(run)
@@ -618,6 +619,7 @@ class LocalMapper:
                 res = local_bundle_adjustment(
                     pr, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
                     iters_first=lb.iters_first, iters_second=lb.iters_second,
+                    free_cap=64,
                 )
                 return res, sel
 

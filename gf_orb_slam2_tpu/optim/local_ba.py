@@ -136,15 +136,41 @@ def pose_schur_blocks(prob: LocalBAProblem, fx, fy, cx, cy, bf, eps=1e-2):
 def local_bundle_adjustment(
     prob: LocalBAProblem, fx, fy, cx, cy, bf,
     iters_first: int = 5, iters_second: int = 10, damping: float = 1e-4,
+    free_cap: int = None,
 ):
     """Run the reference's 5-iter → gate → 10-iter LM schedule
-    (Optimizer.cc:1390-1470) with step acceptance."""
+    (Optimizer.cc:1390-1470) with step acceptance.
+
+    `free_cap`: if set, the pose system is COMPACTED to the first `free_cap`
+    free poses before the solve — fixed poses contribute residuals but no
+    rows, so the reduced camera system is [6F,6F] instead of [6K,6K]. With
+    the good-graph subgraph active, F≈n_sel≈20-60 while K_pad=120: the
+    per-iteration Schur einsums shrink ~(K/F)² and the dense solve ~(K/F)³.
+    Free poses beyond the cap are held fixed (the good-graph pool bound —
+    reference Optimizer.h:45 — keeps the real count below it).
+    """
     K = prob.kf_R.shape[0]
     is_stereo = prob.obs_ur >= 0
     chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
     delta = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
-    onehot = jax.nn.one_hot(prob.obs_kf, K, dtype=prob.kf_R.dtype)  # [P,O,K]
     opt_mask = (~prob.kf_fixed) & prob.kf_valid  # poses that move
+    if free_cap is not None and free_cap < K:
+        F = free_cap
+        # stable compaction: free poses first, then a [K]→[F] slot lut
+        order = jnp.argsort(~opt_mask, stable=True)
+        free_idx = order[:F]                       # [F] global slots
+        f_valid = opt_mask[free_idx]
+        lut = jnp.full((K,), -1, jnp.int32).at[free_idx].set(
+            jnp.where(f_valid, jnp.arange(F, dtype=jnp.int32), -1))
+        obs_slot = jnp.where(prob.obs_kf >= 0,
+                             lut[jnp.maximum(prob.obs_kf, 0)], -1)  # [P,O]
+    else:
+        F = K
+        free_idx = jnp.arange(K)
+        f_valid = opt_mask
+        obs_slot = jnp.where(opt_mask[jnp.maximum(prob.obs_kf, 0)]
+                             & (prob.obs_kf >= 0), prob.obs_kf, -1)
+    onehot = jax.nn.one_hot(obs_slot, F, dtype=prob.kf_R.dtype)  # [P,O,F]
 
     base_valid = prob.obs_valid & (prob.obs_kf >= 0) & prob.pt_valid[:, None]
 
@@ -176,21 +202,21 @@ def local_bundle_adjustment(
         lam = jnp.where(gate, 1e-4, lam)
         w_huber = jnp.where(e <= delta, 1.0, delta / e)
         w = prob.obs_inv_sigma2 * w_huber * (active & (depth > 1e-4)).astype(r.dtype)
-        # zero out fixed/invalid pose Jacobians
-        pose_on = opt_mask[jnp.maximum(prob.obs_kf, 0)]  # [P,O]
+        # zero out fixed/invalid/over-cap pose Jacobians
+        pose_on = obs_slot >= 0                                          # [P,O]
         Jp = J_pose * pose_on[..., None, None].astype(r.dtype)
 
-        # ---- blocks (einsums staged so no [P,O,K,6,6] intermediate exists)
+        # ---- blocks (einsums staged so no [P,O,F,6,6] intermediate exists)
         wJp = w[..., None, None] * Jp                                    # [P,O,3,6]
         M = einsum("poab,poac->pobc", wJp, Jp)                           # [P,O,6,6]
-        Hpp = einsum("pok,pobc->kbc", onehot, M)                         # [K,6,6]
+        Hpp = einsum("pok,pobc->kbc", onehot, M)                         # [F,6,6]
         vb = einsum("poab,poa->pob", wJp, r)                             # [P,O,6]
-        bp = einsum("pok,pob->kb", onehot, vb)                           # [K,6]
+        bp = einsum("pok,pob->kb", onehot, vb)                           # [F,6]
         wJl = w[..., None, None] * J_pt                                  # [P,O,3,3]
         Hll = einsum("poab,poac->pbc", wJl, J_pt)                        # [P,3,3]
         bl = einsum("poab,poa->pb", wJl, r)                              # [P,3]
         C = einsum("poab,poac->pobc", wJp, J_pt)                         # [P,O,6,3]
-        T1 = einsum("pok,pobc->pkbc", onehot, C)                         # [P,K,6,3]
+        T1 = einsum("pok,pobc->pkbc", onehot, C)                         # [P,F,6,3]
 
         lamHll = Hll + (damping + lam) * jnp.eye(3, dtype=Hll.dtype) * (
             1.0 + einsum("pii->p", Hll)[:, None, None] / 3.0
@@ -199,19 +225,27 @@ def local_bundle_adjustment(
 
         Vinv = inv3(lamHll) * prob.pt_valid[:, None, None]              # [P,3,3]
 
-        T1V = einsum("pkab,pbc->pkac", T1, Vinv)                         # [P,K,6,3]
-        S_cross = einsum("pkac,pmdc->kmad", T1V, T1)                     # [K,K,6,6]
-        S = Hpp_mat(Hpp, lam, damping) - S_cross.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+        T1V = einsum("pkab,pbc->pkac", T1, Vinv)                         # [P,F,6,3]
+        S_cross = einsum("pkac,pmdc->kmad", T1V, T1)                     # [F,F,6,6]
+        S = Hpp_mat(Hpp, lam, damping) - S_cross.transpose(0, 2, 1, 3).reshape(F * 6, F * 6)
         bs = bp.reshape(-1) - einsum("pkac,pc->ka", T1V, bl).reshape(-1)
-        # inactive poses: identity rows
-        act6 = jnp.repeat(opt_mask, 6)
+        # inactive slots: identity rows
+        act6 = jnp.repeat(f_valid, 6)
         S = jnp.where(act6[:, None] & act6[None, :], S, 0.0)
         S = S + jnp.diag(jnp.where(act6, 0.0, 1.0))
         bs = jnp.where(act6, bs, 0.0)
-        xi_p = -jnp.linalg.solve(S, bs).reshape(K, 6)
-        # back-substitute points: Hll dx = -(bl + T1ᵀ xi_p)
-        rhs_l = bl + einsum("pkab,ka->pb", T1, xi_p)
+        # S is SPD (damped): Cholesky solve (half the cost of the LU path,
+        # and XLA's TPU cholesky beats its generic lu at these sizes)
+        Lchol = jnp.linalg.cholesky(S)
+        y = jax.scipy.linalg.solve_triangular(Lchol, bs, lower=True)
+        xi_f = -jax.scipy.linalg.solve_triangular(
+            Lchol.T, y, lower=False).reshape(F, 6)
+        xi_f = xi_f * f_valid[:, None]
+        # back-substitute points: Hll dx = -(bl + T1ᵀ xi)
+        rhs_l = bl + einsum("pkab,ka->pb", T1, xi_f)
         dx = -einsum("pbc,pc->pb", Vinv, rhs_l)
+        # scatter the compacted update back to the full pose set
+        xi_p = jnp.zeros((K, 6), xi_f.dtype).at[free_idx].set(xi_f)
 
         dR, dt = lie.se3_exp(xi_p)  # [K,3,3],[K,3]
         kf_R_new, kf_t_new = lie.se3_compose(dR, dt, kf_R, kf_t)

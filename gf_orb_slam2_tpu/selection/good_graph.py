@@ -59,6 +59,19 @@ def _chol6(M, eps=1e-9):
     return L, logdiag
 
 
+def _solve_lower6(L, rhs):
+    """Unrolled forward substitution: y = L⁻¹ rhs for a 6x6 lower L and
+    [6, M] rhs (jnp.linalg triangular solves carry LAPACK-style overheads on
+    TPU; six fused FMA rows do not)."""
+    ys = []
+    for j in range(6):
+        acc = rhs[j]
+        for i in range(j):
+            acc = acc - L[j, i] * ys[i]
+        ys.append(acc / L[j, j])
+    return jnp.stack(ys)
+
+
 def select_subgraph(
     S_blocks, free_mask, n_select, key, lazier_factor: int = 4,
     always_keep=None, eps: float = 1e-3, n_max: int = None,
@@ -67,11 +80,14 @@ def select_subgraph(
     block Cholesky — the reference's GetLogDetInc scheme
     (SLAM++ NonlinearSolver_GoodGraph.h:1181-1218) as fixed-shape scan.
 
-    Maintains L = chol(S[A,A]) in a [6n,6n] buffer over rounds. Scoring all
-    K candidates per round costs one triangular solve [6n,6n]x[6n,6K] plus a
-    batched 6x6 Cholesky — O(n²K) per round instead of the O(K·(6K)³) of
-    re-factorizing the masked full matrix per candidate (what round 1 did;
-    infeasible at the reference's 60-KF pool).
+    Maintains X = L⁻¹ S[A,:] directly across rounds (L = chol(S[A,A]) over
+    the selected ordering A). Appending KF j extends X by six rows
+    Lc⁻¹(S[j,:] − X_jᵀX) — one [6,6n]×[6n,6K] matmul and an unrolled 6×6
+    substitution — and existing rows never change, so no per-round
+    triangular re-solve exists (an earlier version re-ran a [6n,6n]×[6n,6K]
+    solve_triangular every round: sequential back-substitution, the dominant
+    selection cost at the 60-KF pool). Scoring stays one batched 6×6
+    Cholesky over all K candidates per round: Δ_j = S_jj − X_jᵀX_j.
 
     S_blocks: [K,K,6,6] pose-Schur information; free_mask: [K] selectable;
     always_keep: [K] bool — pre-selected (slot 0 of the ordering).
@@ -95,27 +111,25 @@ def select_subgraph(
         1e-5 * jnp.eye(6, dtype=dt))
     # S as [6K,6K] (row-major over KFs)
     Sfull = jnp.swapaxes(Sn, 1, 2).reshape(K * 6, K * 6)
+    Sdiag = Sn[jnp.arange(K), jnp.arange(K)]
 
     selected0 = jnp.zeros(K, bool)
-    L0 = jnp.eye(N6, dtype=dt)       # factor buffer; unused rows = identity
-    B0 = jnp.zeros((N6, K * 6), dt)  # rows of S for the selected ordering
+    X0 = jnp.zeros((N6, K * 6), dt)  # L⁻¹ S[A,:] rows in selection order
     # seed the ordering with always_keep & free (at most one expected: the
     # anchor KF); handled as round 0 with forced argmax
     forced = always_keep & free_mask
 
+    from gf_orb_slam2_tpu.utils.precision import einsum as p_einsum
+    from gf_orb_slam2_tpu.utils.precision import matmul as p_matmul
+
     def round_fn(carry, inp):
-        selected, L, B, n_sel = carry
+        selected, X, n_sel = carry
         r6 = 6 * inp["r"]
         k = inp["key"]
-        # X = L⁻¹ B  (triangular; unused rows of L are identity, B rows zero)
-        X = jax.scipy.linalg.solve_triangular(L, B, lower=True)  # [N6,6K]
         Xb = X.reshape(N6, K, 6)
         # Δ_j = S_jj - X_jᵀ X_j for all candidates j (f32 contraction:
         # bf16 here corrupts the logdet ranking — utils/precision.py)
-        from gf_orb_slam2_tpu.utils.precision import einsum as p_einsum
-
         G = p_einsum("nka,nkb->kab", Xb, Xb)
-        Sdiag = Sn[jnp.arange(K), jnp.arange(K)]
         Delta = Sdiag - G
         Lc, logd = _chol6(Delta)     # [K,6,6], [K] (½ logdet gains)
         u = jax.random.uniform(k, (K,))
@@ -125,23 +139,21 @@ def select_subgraph(
         score = jnp.where(cand, logd, -jnp.inf)
         best = jnp.argmax(score)
         ok = jnp.isfinite(score[best]) & (n_sel < n_select)
-        # grow the factor: rows [r6:r6+6] ← [X_bestᵀ | chol(Δ_best)]
+        # extend the factor solution: rows [r6:r6+6] of X become
+        # Lc_best⁻¹ (S[best,:] − X_bestᵀ X); earlier rows are unchanged
         Xbest = Xb[:, best]                       # [N6,6]
-        newrow = jnp.zeros((6, N6), dt)
-        newrow = jax.lax.dynamic_update_slice(newrow.T, Lc[best].T,
-                                              (r6, 0)).T  # place chol at r6
-        newrow = newrow + Xbest.T * (jnp.arange(N6) < r6)[None, :]
-        L = jnp.where(ok, jax.lax.dynamic_update_slice(L, newrow, (r6, 0)), L)
         Brow = jax.lax.dynamic_slice(Sfull, (best * 6, 0), (6, K * 6))
-        B = jnp.where(ok, jax.lax.dynamic_update_slice(B, Brow, (r6, 0)), B)
+        rhs = Brow - p_matmul(Xbest.T, X)         # [6, 6K]
+        newrow = _solve_lower6(Lc[best], rhs)
+        X = jnp.where(ok, jax.lax.dynamic_update_slice(X, newrow, (r6, 0)), X)
         selected = selected.at[best].set(selected[best] | ok)
         n_sel = n_sel + ok.astype(jnp.int32)
-        return (selected, L, B, n_sel), None
+        return (selected, X, n_sel), None
 
     keys = jax.random.split(key, n_max)
     inps = {"r": jnp.arange(n_max), "key": keys}
-    (selected, _, _, _), _ = jax.lax.scan(
-        round_fn, (selected0, L0, B0, jnp.int32(0)), inps)
+    (selected, _, _), _ = jax.lax.scan(
+        round_fn, (selected0, X0, jnp.int32(0)), inps)
     return selected
 
 

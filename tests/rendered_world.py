@@ -135,6 +135,52 @@ def yaw_pose(yaw: float, pos: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return R_cw, t_cw
 
 
+def rpy_pose(yaw: float, pitch: float, roll: float,
+             pos: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """World→cam pose with full rotation: yaw (about y), pitch (about x),
+    roll (about z), camera at world `pos`."""
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    Ry = np.asarray([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+    Rx = np.asarray([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
+    Rz = np.asarray([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]], np.float32)
+    R_wc = Ry @ Rx @ Rz
+    R_cw = R_wc.T
+    t_cw = -R_cw @ pos.astype(np.float32)
+    return R_cw, t_cw
+
+
+def trajectory_tour(n_frames: int, center=(0.0, 0.0, 4.0), x_amp=1.5,
+                    y_amp=0.3, z_amp=2.0, yaw_amp=0.5, pitch_amp=0.12,
+                    roll_amp=0.06, cycles=2.0):
+    """Sustained 6-DoF room tour for benchmarking: the camera weaves through
+    the room on a Lissajous path with simultaneous yaw/pitch/roll sweeps —
+    continuous rotation, depth change on every axis, no fronto-parallel
+    episodes. Frequencies are INCOMMENSURATE (×1, ×e/2, ×√2…) so the path
+    never exactly revisits an earlier pose: loop closing stays active (its
+    per-KF detection work is part of the measured load) without actual loop
+    events turning the latency benchmark into a loop-correction benchmark.
+    Per-frame motion is set by (amplitude × cycles / n_frames): the defaults
+    at n_frames=300 give ~4-7 cm and ~0.7-1.2°/frame, the same regime as a
+    brisk handheld EuRoC sequence at 20 fps."""
+    poses = []
+    c = np.asarray(center, np.float32)
+    r2, r3 = np.sqrt(2.0), np.e / 2
+    for i in range(n_frames):
+        a = cycles * i / max(n_frames - 1, 1)
+        pos = c + np.asarray([
+            x_amp * np.sin(2 * np.pi * a),
+            y_amp * np.sin(2 * np.pi * r3 * a),
+            z_amp * np.sin(np.pi * r2 * a / 2),
+        ], np.float32)
+        yaw = yaw_amp * np.sin(2 * np.pi * a / r2 + 0.7)
+        pitch = pitch_amp * np.sin(2 * np.pi * r3 * a + 0.3)
+        roll = roll_amp * np.sin(2 * np.pi * a + 1.9)
+        poses.append(rpy_pose(yaw, pitch, roll, pos))
+    return poses
+
+
 def trajectory_arc(n_frames: int, radius=1.2, yaw_amp=0.35,
                    center=(0.0, 0.0, 3.5), advance=2.5):
     """Smooth 6-DoF trajectory: forward advance + lateral arc + yaw sweep.

@@ -122,3 +122,31 @@ def ate_rmse(est_poses, gt_poses):
     est_c = np.stack([-R.T @ t for R, t in est_poses])
     gt_c = np.stack([-R.T @ t for R, t in gt_poses])
     return float(np.sqrt(np.mean(np.sum((est_c - gt_c) ** 2, -1))))
+
+
+def render_plane_sequence(n_frames=24, h=480, w=640, fx=450.0, bf=45.0,
+                          z=5.0, step=0.02):
+    """Textured fronto-parallel plane at depth z; the camera translates
+    laterally at `step` m/frame. The right image is the left shifted by the
+    constant disparity bf/z. (Image-pipeline smoke-test scene — the headline
+    bench uses the ray-cast 6-DoF room in tests/rendered_world.py.)"""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    tex = rng.uniform(0, 255, (h // 8, (w + 200) // 8)).astype(np.float32)
+    tex = cv2.resize(tex, ((w + 200), h), interpolation=cv2.INTER_CUBIC)
+    tex += cv2.resize(
+        rng.uniform(-60, 60, (h // 2, (w + 200) // 2)).astype(np.float32),
+        ((w + 200), h), interpolation=cv2.INTER_CUBIC,
+    )
+    tex = np.clip(tex, 0, 255)
+    disp = bf / z
+    frames = []
+    for i in range(n_frames):
+        dx = fx * (i * step) / z
+        M = np.float32([[1, 0, -dx], [0, 1, 0]])
+        left = cv2.warpAffine(tex, M, (w, h))
+        Mr = np.float32([[1, 0, -dx - disp], [0, 1, 0]])
+        right = cv2.warpAffine(tex, Mr, (w, h))
+        frames.append((left, right))
+    return frames

@@ -9,7 +9,7 @@ from gf_orb_slam2_tpu.config import (
 )
 from gf_orb_slam2_tpu.system import System
 
-from bench import render_sequence
+from tests.synthetic import render_plane_sequence as render_sequence
 
 
 def make_system():

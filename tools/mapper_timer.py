@@ -34,7 +34,8 @@ def main():
     import bench
 
     n_frames = 120
-    frames = bench.render_sequence(n_frames=n_frames)
+    frames, _ = bench.render_sequence()
+    n_frames = min(n_frames, len(frames))
 
     from gf_orb_slam2_tpu.config import (
         CameraConfig, CapacityConfig, ORBConfig, Sensor, SystemConfig,

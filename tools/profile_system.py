@@ -26,7 +26,8 @@ def main():
     sys.argv = [sys.argv[0]]
     import bench
 
-    frames = bench.render_sequence(n_frames=24)
+    frames, _ = bench.render_sequence()
+    frames = frames[:24]
 
     from gf_orb_slam2_tpu.config import (
         CameraConfig, CapacityConfig, ORBConfig, Sensor, SystemConfig,

@@ -44,7 +44,8 @@ def main():
     import bench
     import jax
 
-    frames = bench.render_sequence(n_frames=args.frames + 16)
+    frames, _ = bench.render_sequence()
+    frames = frames[:args.frames + 16]
 
     from gf_orb_slam2_tpu.config import (
         CameraConfig, CapacityConfig, ORBConfig, Sensor, SystemConfig,
