@@ -42,26 +42,36 @@ _CACHE = os.path.join(os.path.expanduser("~"), ".cache", "gf_slam_rendered",
 def render_sequence(n_frames=N_FRAMES):
     """Rendered 6-DoF stereo sequence + ground-truth camera centers.
     Ray-casting costs ~0.34 s/frame on this host, so the rendered frames are
-    cached on disk; repeat runs load in ~1 s."""
+    cached on disk; repeat runs load in ~1 s. Requests for a prefix
+    (n_frames < N_FRAMES, e.g. quick profiling tools) are served as a slice
+    of the full cached sequence — only a cache MISS renders, and it always
+    renders the full length so the cache stays shared (ADVICE r3)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tests.rendered_world import RoomWorld, trajectory_tour
 
-    poses = trajectory_tour(n_frames)
+    assert n_frames <= N_FRAMES, "render_sequence serves prefixes of the tour"
+    poses = trajectory_tour(N_FRAMES)
     gt = np.stack([-R.T @ t for R, t in poses])
     if os.path.exists(_CACHE):
         z = np.load(_CACHE)
-        if z["imgs"].shape[0] == n_frames:
-            return z["imgs"], gt
+        # guard against silent scene drift (ADVICE r3): the cached images are
+        # only valid if the ground truth they were rendered against matches
+        # the freshly computed one (any RoomWorld/trajectory/intrinsics
+        # change shifts gt and invalidates the cache automatically)
+        if (z["imgs"].shape[0] == N_FRAMES and "gt" in z.files
+                and z["gt"].shape == gt.shape
+                and np.allclose(z["gt"], gt, atol=1e-6)):
+            return z["imgs"][:n_frames], gt[:n_frames]
     world = RoomWorld(width=9.0, height=5.5, length=13.0)
-    imgs = np.empty((n_frames, 2, 480, 640), np.uint8)
+    imgs = np.empty((N_FRAMES, 2, 480, 640), np.uint8)
     for i, (R_cw, t_cw) in enumerate(poses):
         l, r = world.render_stereo(R_cw, t_cw, baseline=BASELINE_M,
                                    fx=FX, fy=FY, cx=CX, cy=CY)
         imgs[i, 0] = np.clip(l, 0, 255).astype(np.uint8)
         imgs[i, 1] = np.clip(r, 0, 255).astype(np.uint8)
     os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
-    np.savez(_CACHE, imgs=imgs)
-    return imgs, gt
+    np.savez(_CACHE, imgs=imgs, gt=gt)
+    return imgs[:n_frames], gt[:n_frames]
 
 
 def main():

@@ -250,7 +250,10 @@ class LoopClosingConfig:
     # Run the post-correction full BA inline instead of in a detached thread
     # (reference spawns a thread, LoopClosing.cc:601). Inline makes results
     # independent of host load — which KFs exist when the solve snapshot and
-    # write-back happen is then deterministic. Used by accuracy gates.
+    # write-back happen is then deterministic. TEST/GATE-ONLY: combined with
+    # tracking.async_mapping the inline solve runs while the mapping worker
+    # may hold the store lock, stalling tracking for the whole GBA (System
+    # warns at construction; ADVICE r3).
     synchronous_gba: bool = False
 
 

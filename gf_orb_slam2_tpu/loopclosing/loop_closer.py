@@ -58,19 +58,27 @@ class LoopCloser:
 
     # ------------------------------------------------------------- pipeline
     def process_keyframe(self, kf: int) -> LoopStats:
+        """Takes store.lock internally, in phases: detection (the common,
+        cheap case) locks briefly; Sim3 verification + the rare correction
+        hold it for their host mutations — matching the reference's protocol
+        of stopping LocalMapping during CorrectLoop while tracking continues
+        between phases (LoopClosing.cc:430-460). Callers (sync pipeline or
+        the async mapping worker) must NOT wrap this in the store lock."""
         st = LoopStats(kf=kf)
         self.stats.append(st)
-        cands = self._detect_loop(kf, st)
-        self.kfdb.add(kf)
+        with self.store.lock:
+            cands = self._detect_loop(kf, st)
+            self.kfdb.add(kf)
         if not cands:
             return st
-        hit = self._compute_sim3(kf, cands, st)
-        if hit is None:
-            return st
-        loop_kf, s12, R12, t12, n_inl = hit
-        st.loop_kf = loop_kf
-        st.n_sim3_inliers = n_inl
-        self._correct_loop(kf, loop_kf, s12, R12, t12, st)
+        with self.store.lock:
+            hit = self._compute_sim3(kf, cands, st)
+            if hit is None:
+                return st
+            loop_kf, s12, R12, t12, n_inl = hit
+            st.loop_kf = loop_kf
+            st.n_sim3_inliers = n_inl
+            self._correct_loop(kf, loop_kf, s12, R12, t12, st)
         return st
 
     # ------------------------------------------------------------ detection

@@ -493,6 +493,13 @@ class LocalMapper:
                    if getattr(self, "velocity_provider", None) else None)
             n_sel = anticipated_subgraph_size(
                 s, self.cfg, s.kf_R[kf], s.kf_t[kf], vel)
+        # free poses ⊆ window (fixed KFs enter with fixed_mask set), so the
+        # compaction cap derives from the ACTUAL window size, bucketed to two
+        # shapes to avoid per-size recompiles (ADVICE r3: a hardcoded 64 would
+        # silently freeze poses if the pool cap were ever raised)
+        free_cap = 32 if len(window) <= 32 else ((K_CAP + 4 + 7) // 8) * 8
+        assert len(window) <= free_cap, (
+            f"local BA window {len(window)} exceeds free-pose cap {free_cap}")
         try:
             mirrors = (s.kf_mirror.arrays, s.mirror.arrays)
             if use_gg:
@@ -505,9 +512,9 @@ class LocalMapper:
                 # relay round trip (tools/relay_microbench.py).
                 handle = self._run_gg_ba_jit(dev_up, mirrors,
                                              jax.random.PRNGKey(kf), cam,
-                                             jnp.int32(n_sel))
+                                             jnp.int32(n_sel), free_cap)
             else:
-                handle = self._run_ba_jit(dev_up, mirrors, cam)
+                handle = self._run_ba_jit(dev_up, mirrors, cam, free_cap)
         finally:
             s.lock.release()
         # blocking device solve — OUTSIDE the map lock
@@ -572,8 +579,8 @@ class LocalMapper:
             obs_valid=obs_valid,
         )
 
-    def _run_ba_jit(self, up, mirrors, cam):
-        key = ("ba", up[3].shape[0], up[0].shape[0], up[4].shape[1])
+    def _run_ba_jit(self, up, mirrors, cam, free_cap):
+        key = ("ba", up[3].shape[0], up[0].shape[0], up[4].shape[1], free_cap)
         if key not in self._ba_shapes:
             lb = self.cfg.local_ba
 
@@ -582,18 +589,18 @@ class LocalMapper:
                 return local_bundle_adjustment(
                     pr, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
                     iters_first=lb.iters_first, iters_second=lb.iters_second,
-                    free_cap=64,
+                    free_cap=free_cap,
                 )
 
             self._ba_shapes[key] = jax.jit(run)
         return self._ba_shapes[key](up, *mirrors)
 
-    def _run_gg_ba_jit(self, up, mirrors, rng, cam, n_sel):
+    def _run_gg_ba_jit(self, up, mirrors, rng, cam, n_sel, free_cap):
         """Good-graph selection + local BA fused into one device program
         (one dispatch, one blocking fetch). `n_sel` is a traced scalar so the
         anticipation budget varies per KF event without recompiling.
         Returns (ba_result, sel_mask)."""
-        key = ("ggba", up[3].shape[0], up[0].shape[0], up[4].shape[1])
+        key = ("ggba", up[3].shape[0], up[0].shape[0], up[4].shape[1], free_cap)
         if key not in self._ba_shapes:
             from gf_orb_slam2_tpu.optim.local_ba import pose_schur_blocks
             from gf_orb_slam2_tpu.selection.good_graph import select_subgraph
@@ -619,7 +626,7 @@ class LocalMapper:
                 res = local_bundle_adjustment(
                     pr, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
                     iters_first=lb.iters_first, iters_second=lb.iters_second,
-                    free_cap=64,
+                    free_cap=free_cap,
                 )
                 return res, sel
 

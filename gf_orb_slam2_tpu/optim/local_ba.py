@@ -251,7 +251,14 @@ def local_bundle_adjustment(
         kf_R_new, kf_t_new = lie.se3_compose(dR, dt, kf_R, kf_t)
         pt_new = pt_pos + dx * prob.pt_valid[:, None]
         cost_new = robust_cost(kf_R_new, kf_t_new, pt_new, active)
-        accept = cost_new < cost
+        # reject non-finite steps EXPLICITLY: cholesky returns NaN (not an
+        # error) on an S driven indefinite by f32 roundoff, and a NaN pose
+        # NaN-masks every depth test so robust_cost returns 0.0 — which
+        # would be "accepted" by the plain cost comparison and poison the
+        # whole window (the r3 rendered-loop NaN trajectory regression)
+        finite = (jnp.isfinite(xi_f).all() & jnp.isfinite(dx).all()
+                  & jnp.isfinite(cost_new))
+        accept = (cost_new < cost) & finite
         kf_R = jnp.where(accept, kf_R_new, kf_R)
         kf_t = jnp.where(accept, kf_t_new, kf_t)
         pt_pos = jnp.where(accept, pt_new, pt_pos)

@@ -123,7 +123,11 @@ def optimize_pose_graph(
         ds, dR, dt = lie.sim3_exp(delta)
         s_new, R_new, t_new = lie.sim3_compose(ds, dR, dt, s, R, t)
         cost_new = total_cost(s_new, R_new, t_new)
-        accept = cost_new < cost
+        # explicit finiteness guard: a singular Hm makes the solve emit
+        # inf/NaN, and a NaN candidate must never be accepted (same failure
+        # class as local_ba's cholesky-NaN step — see local_ba.py:254)
+        finite = jnp.isfinite(delta).all() & jnp.isfinite(cost_new)
+        accept = (cost_new < cost) & finite
         s = jnp.where(accept, s_new, s)
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)

@@ -135,7 +135,11 @@ def pose_optimization(
         dR, dt = lie.se3_exp(xi)
         R_new, t_new = lie.se3_compose(dR, dt, R, t)
         cost_new = robust_cost(R_new, t_new, inlier)
-        accept = cost_new < cost
+        # explicit finiteness guard: a NaN candidate pose NaN-masks every
+        # depth gate, making robust_cost 0.0 — which the plain comparison
+        # would "accept" (same failure class as local_ba.py:254)
+        finite = jnp.isfinite(xi).all() & jnp.isfinite(cost_new)
+        accept = (cost_new < cost) & finite
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         cost = jnp.where(accept, cost_new, cost)

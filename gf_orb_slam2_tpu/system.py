@@ -112,13 +112,7 @@ class _MappingWorker:
             try:
                 # newer KFs already queued → skip this BA (reference aborts
                 # the running local BA when a KF arrives, LocalMapping mbAbortBA)
-                skip_ba = self._q.qsize() >= 1
-                self.sys.mapper.process_keyframe(kf, skip_ba=skip_ba)
-                if self.sys.cfg.loop.enabled:
-                    self.sys._ensure_place_recognition()
-                    if self.sys.loop_closer is not None:
-                        with self.sys.store.lock:
-                            self.sys.loop_closer.process_keyframe(kf)
+                self.sys._on_keyframe(kf, skip_ba=self._q.qsize() >= 1)
             except Exception as e:  # surfaced at the next wait_idle()
                 self._error = e
             finally:
@@ -165,6 +159,13 @@ class System:
 
         self._inflight = deque()
         self._pipeline_depth = cfg.tracking.pipeline_depth
+        if cfg.tracking.async_mapping and cfg.loop.synchronous_gba:
+            import warnings
+
+            warnings.warn(
+                "loop.synchronous_gba is a test/gate-only setting: combined "
+                "with tracking.async_mapping the inline global BA stalls "
+                "tracking for its whole duration", stacklevel=2)
         self._fetcher: Optional[_PipelineFetcher] = None
         self._map_worker: Optional[_MappingWorker] = None
         # place recognition: load the pretrained vocabulary asset (reference:
@@ -228,6 +229,13 @@ class System:
         done = []
         while len(self._inflight) >= self._pipeline_depth:
             done.append(self._complete_one())
+        # a completion can invalidate streaming state (empty local-map gather
+        # after KF bookkeeping nulls _cached_pool, or the track went LOST) —
+        # re-check and fall back to the synchronous path for this frame
+        if not tr.stream_ready():
+            done += self.flush_pipeline()
+            pose = self.track_stereo(im_left, im_right, timestamp)
+            return done + [(self.frame_id - 1, pose)]
         # ship map deltas AFTER completions so points created/adjusted by
         # their keyframes are device-visible to this dispatch (no-op if clean)
         self.store.mirror.sync()
@@ -278,12 +286,20 @@ class System:
                     self._map_worker = _MappingWorker(self)
                 self._map_worker.submit(kf)
             else:
-                self.mapper.process_keyframe(kf)
-                if self.cfg.loop.enabled:
-                    self._ensure_place_recognition()
-                    if self.loop_closer is not None:
-                        self.loop_closer.process_keyframe(kf)
+                self._on_keyframe(kf)
         return (frame.frame_id, frame.pose_matrix())
+
+    def _on_keyframe(self, kf: int, skip_ba: bool = False):
+        """KF post-processing: local mapping stages then loop closing.
+        The single definition shared by the sync pipeline, the async mapping
+        worker and the profiling tools (ADVICE r3: tools re-implementing this
+        drift from production). Stages take store.lock internally around host
+        mutations and release it across device solves."""
+        self.mapper.process_keyframe(kf, skip_ba=skip_ba)
+        if self.cfg.loop.enabled:
+            self._ensure_place_recognition()
+            if self.loop_closer is not None:
+                self.loop_closer.process_keyframe(kf)
 
     def track_rgbd(self, im, depth_map, timestamp: float) -> np.ndarray:
         """Reference: System::TrackRGBD (System.cc:214)."""
@@ -324,12 +340,7 @@ class System:
                      f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
             rt.flush()
         if st.created_kf and not self.cfg.localization_only:
-            kf = self.tracker.ref_kf
-            self.mapper.process_keyframe(kf)
-            if self.cfg.loop.enabled:
-                self._ensure_place_recognition()
-                if self.loop_closer is not None:
-                    self.loop_closer.process_keyframe(kf)
+            self._on_keyframe(self.tracker.ref_kf)
         self.frame_id += 1
         return frame.pose_matrix()
 

@@ -115,3 +115,79 @@ class TestLocalBA:
         res = local_bundle_adjustment(prob, FX, FY, CX, CY, BF)
         terr = np.linalg.norm(np.asarray(res.kf_t) - gt_t, axis=-1)
         assert terr[1:].max() < 0.02
+
+    def test_free_cap_equivalence(self):
+        """Compacted (F<K) solve must match the uncompacted one when the
+        number of free poses fits the cap (the invariant local_mapping relies
+        on — VERDICT r3 weak #5)."""
+        rng = np.random.default_rng(4)
+        prob, gt_R, gt_t, gt_pts = build_problem(rng, K=8, n_fixed=3)
+        res_full = local_bundle_adjustment(prob, FX, FY, CX, CY, BF)
+        res_cap = local_bundle_adjustment(prob, FX, FY, CX, CY, BF, free_cap=5)
+        np.testing.assert_allclose(
+            np.asarray(res_cap.kf_t), np.asarray(res_full.kf_t), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(res_cap.kf_R), np.asarray(res_full.kf_R), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(res_cap.pt_pos), np.asarray(res_full.pt_pos), atol=1e-4)
+
+    def test_free_cap_overflow_fixes_extra(self):
+        """Free poses beyond the cap are held fixed, not corrupted."""
+        rng = np.random.default_rng(5)
+        prob, gt_R, gt_t, gt_pts = build_problem(rng, K=8, n_fixed=1)
+        res = local_bundle_adjustment(prob, FX, FY, CX, CY, BF, free_cap=4)
+        # the first 4 free poses (1..4) move; 5..7 must stay exactly put
+        np.testing.assert_allclose(
+            np.asarray(res.kf_t[5:]), np.asarray(prob.kf_t[5:]), atol=1e-7)
+        assert np.all(np.isfinite(np.asarray(res.kf_t)))
+        assert np.all(np.isfinite(np.asarray(res.pt_pos)))
+
+    def test_rank_deficient_no_nan(self):
+        """A free pose with ZERO observations (singular diagonal block before
+        damping) and a near-singular overall system must reject steps, never
+        poison poses with NaN (VERDICT r3 weak #5: cholesky returns NaN, not
+        an error, on a non-PD matrix)."""
+        rng = np.random.default_rng(6)
+        prob, gt_R, gt_t, gt_pts = build_problem(rng, K=6, n_fixed=1)
+        # orphan pose 5: drop every observation of KF 5 but leave it free+valid
+        ok = np.asarray(prob.obs_kf)
+        ov = np.asarray(prob.obs_valid) & (ok != 5)
+        prob = prob._replace(obs_valid=jnp.asarray(ov))
+        res = local_bundle_adjustment(prob, FX, FY, CX, CY, BF)
+        assert np.all(np.isfinite(np.asarray(res.kf_R)))
+        assert np.all(np.isfinite(np.asarray(res.kf_t)))
+        assert np.all(np.isfinite(np.asarray(res.pt_pos)))
+        assert np.isfinite(float(res.final_cost))
+        # and the well-constrained poses still converge
+        terr = np.linalg.norm(np.asarray(res.kf_t)[1:5] - gt_t[1:5], axis=-1)
+        assert terr.max() < 0.02
+
+    def test_duplicate_point_cloud_no_nan(self):
+        """Points stacked at identical positions (post-fuse duplicates) give
+        singular Hll directions; the solve must stay finite."""
+        rng = np.random.default_rng(7)
+        prob, gt_R, gt_t, gt_pts = build_problem(rng, K=6, P=64)
+        pos = np.asarray(prob.pt_pos).copy()
+        pos[32:] = pos[:32]  # exact duplicates
+        prob = prob._replace(pt_pos=jnp.asarray(pos))
+        res = local_bundle_adjustment(prob, FX, FY, CX, CY, BF)
+        assert np.all(np.isfinite(np.asarray(res.kf_t)))
+        assert np.all(np.isfinite(np.asarray(res.pt_pos)))
+
+    def test_nan_solve_step_rejected(self):
+        """A non-finite Schur solve must be REJECTED, not accepted.
+
+        Deterministic reproduction of the r3 rendered-loop NaN regression:
+        absurd observation weights overflow the f32 Schur system → inf in S →
+        cholesky(S) = NaN → NaN candidate poses → every depth gate NaN-masks
+        → robust_cost(candidate) = 0.0 < cost. Without an explicit finiteness
+        guard the LM accepts that step and the window is poisoned."""
+        rng = np.random.default_rng(8)
+        prob, gt_R, gt_t, gt_pts = build_problem(rng, K=6)
+        w = np.asarray(prob.obs_inv_sigma2).copy()
+        w[:8] = 1e30  # overflow the [6F,6F] Schur products in f32
+        prob = prob._replace(obs_inv_sigma2=jnp.asarray(w))
+        res = local_bundle_adjustment(prob, FX, FY, CX, CY, BF)
+        assert np.all(np.isfinite(np.asarray(res.kf_R))), "NaN step accepted"
+        assert np.all(np.isfinite(np.asarray(res.kf_t)))
+        assert np.all(np.isfinite(np.asarray(res.pt_pos)))

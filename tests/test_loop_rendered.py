@@ -29,10 +29,28 @@ BF = FX * BASELINE
 N_FRAMES = 140
 
 
+_FRAMES_CACHE = {}
+
+
+def _rendered_frames():
+    """Render the circuit ONCE per process; both the loop-on and loop-off
+    arms consume the same frames (the render is ~2/3 of each arm's cost)."""
+    if "frames" not in _FRAMES_CACHE:
+        world = RoomWorld(width=9.0, height=5.0, length=14.0)
+        poses = trajectory_loop(N_FRAMES, radius=2.2, center=(0.0, 0.0, 7.0),
+                                loops=1.27)
+        frames = [
+            world.render_stereo(R_cw, t_cw, baseline=BASELINE,
+                                fx=FX, fy=FY, cx=CX, cy=CY)
+            for R_cw, t_cw in poses
+        ]
+        _FRAMES_CACHE["frames"] = frames
+        _FRAMES_CACHE["poses"] = poses
+    return _FRAMES_CACHE["poses"], _FRAMES_CACHE["frames"]
+
+
 def _run(loop_enabled: bool):
-    world = RoomWorld(width=9.0, height=5.0, length=14.0)
-    poses = trajectory_loop(N_FRAMES, radius=2.2, center=(0.0, 0.0, 7.0),
-                            loops=1.27)
+    poses, frames = _rendered_frames()
     cam = CameraConfig(fx=FX, fy=FY, cx=CX, cy=CY, bf=BF, th_depth=40.0)
     cfg = SystemConfig(
         sensor=Sensor.STEREO, camera=cam, orb=ORBConfig(n_features=800),
@@ -45,9 +63,7 @@ def _run(loop_enabled: bool):
     )
     slam = System(cfg)
     gt = {}
-    for i, (R_cw, t_cw) in enumerate(poses):
-        l, r = world.render_stereo(R_cw, t_cw, baseline=BASELINE,
-                                   fx=FX, fy=FY, cx=CX, cy=CY)
+    for i, ((R_cw, t_cw), (l, r)) in enumerate(zip(poses, frames)):
         slam.track_stereo(l, r, i / 20.0)
         gt[i / 20.0] = -R_cw.T @ t_cw
     slam.shutdown()
@@ -80,3 +96,9 @@ def test_loop_detected_fused_and_consistent():
     # detached-GBA timing variance while still requiring the correction to
     # have fired and worked (loop-off fails this gate by ~60%).
     assert ate_on < 0.12, f"ATE with loop closing {ate_on:.3f} m"
+    # (d) control arm (VERDICT r3 #4): the same frames with loop closing OFF
+    # must drift MORE — the no-harm/improvement property the docstring
+    # promises, asserted rather than recorded as a comment
+    ate_off, _ = _run(loop_enabled=False)
+    assert ate_on < ate_off, (
+        f"loop closing must not degrade ATE: on={ate_on:.3f} off={ate_off:.3f}")

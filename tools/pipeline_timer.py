@@ -65,12 +65,7 @@ def main():
             st = tr.stream_complete(frame, raw, pool_ids)
             tw2 = time.perf_counter()
             if st.created_kf:
-                slam.mapper.process_keyframe(tr.ref_kf)
-                if slam.cfg.loop.enabled:
-                    slam._ensure_place_recognition()
-                    if slam.loop_closer is not None:
-                        with slam.store.lock:
-                            slam.loop_closer.process_keyframe(tr.ref_kf)
+                slam._on_keyframe(tr.ref_kf)
                 kf_events += 1
             fetchw += tw1 - tw0
             bookk += tw2 - tw1
