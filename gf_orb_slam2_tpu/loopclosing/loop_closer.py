@@ -27,6 +27,19 @@ from gf_orb_slam2_tpu.place.keyframe_db import KeyFrameDatabase
 from gf_orb_slam2_tpu.slammap.store import MapStore
 
 
+def _np_sim3_inv(s, R, t):
+    """(s,R,t)⁻¹ = (1/s, Rᵀ, -(1/s)·Rᵀt) — float64-free numpy Sim3."""
+    si = 1.0 / s
+    Ri = R.T
+    return si, Ri, (-si * (Ri @ t)).astype(np.float32)
+
+
+def _np_sim3_compose(s1, R1, t1, s2, R2, t2):
+    """(s1,R1,t1)∘(s2,R2,t2): x ↦ s1·R1(s2·R2 x + t2) + t1."""
+    return (float(s1 * s2), (R1 @ R2).astype(np.float32),
+            (s1 * (R1 @ t2) + t1).astype(np.float32))
+
+
 @dataclasses.dataclass
 class LoopStats:
     kf: int = -1
@@ -119,21 +132,65 @@ class LoopCloser:
         return enough
 
     # ----------------------------------------------------------- sim3 stage
+    def _ensure_jits(self):
+        """Jit the per-candidate device stages ONCE with fixed shapes
+        (desc [n_kp,8], pairs padded to 256). Running them eagerly cost
+        ~160 tiny remote compiles on the first loop event and hundreds of
+        ms-scale eager dispatches per candidate afterwards (r4 profile:
+        77 s of backend_compile inside one _compute_sim3 call)."""
+        if self._match_jit is not None:
+            return
+        cam = self.cfg.camera
+        fix = self.fix_scale
+        mi = self.cfg.loop.min_sim3_inliers
+
+        self._match_jit = jax.jit(lambda da, va, db, vb: matcher.match_all(
+            da, va, db, vb, th=matcher.TH_LOW, nn_ratio=0.75, mutual=True))
+
+        def sim3_full(pc1, pc2, val, key):
+            res = solve_sim3(pc1, pc2, val, cam.fx, cam.fy, cam.cx, cam.cy,
+                             key, fix_scale=fix, min_inliers=mi)
+            # GN polish (reference: OptimizeSim3 between RANSAC and the
+            # guided-projection verification, LoopClosing.cc:380) — always
+            # computed (its cost is one fused program); gated on the host
+            from gf_orb_slam2_tpu.loopclosing.sim3solver import optimize_sim3
+
+            s_o, R_o, t_o, inl_o = optimize_sim3(
+                res.s, res.R, res.t, pc1, pc2, res.inliers,
+                cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=fix)
+            return res.ok, s_o, R_o, t_o, inl_o
+
+        self._sim3_jit = jax.jit(sim3_full)
+
+        def cam_project(p):
+            z = jnp.maximum(p[..., 2], 1e-6)
+            return (
+                jnp.stack([cam.fx * p[..., 0] / z + cam.cx,
+                           cam.fy * p[..., 1] / z + cam.cy], -1),
+                p[..., 2],
+            )
+
+        def guided(s12, R12, t12, pc1, pc2, d1, d2, v1, v2):
+            m = matcher.search_by_sim3(
+                s12, R12, t12, pc1, pc2, d1, d2, v1, v2, cam_project)
+            return jnp.sum(m.valid)
+
+        self._guided_jit = jax.jit(guided)
+
     def _compute_sim3(self, kf: int, cands: List[int], st: LoopStats):
         s = self.store
-        cam = self.cfg.camera
+        self._ensure_jits()
         for c in cands:
             # descriptor matches between map-point-bearing keypoints
             has_k = s.kf_point[kf] >= 0
             has_c = s.kf_point[c] >= 0
-            m = matcher.match_all(
+            m = self._match_jit(
                 jnp.asarray(s.kf_desc[kf]), jnp.asarray(has_k & s.kf_kp_valid[kf]),
                 jnp.asarray(s.kf_desc[c]), jnp.asarray(has_c & s.kf_kp_valid[c]),
-                th=matcher.TH_LOW, nn_ratio=0.75, mutual=True,
             )
-            idx = np.asarray(m.idx)
-            ok = np.asarray(m.valid)
-            rows = np.nonzero(ok)[0]
+            idx, ok = jax.device_get((m.idx, m.valid))
+            idx = np.asarray(idx)
+            rows = np.nonzero(np.asarray(ok))[0]
             if rows.size < self.cfg.loop.min_sim3_inliers:
                 continue
             p1 = s.kf_point[kf, rows]
@@ -150,24 +207,11 @@ class LoopCloser:
             pc1[:n] = s.point_pos[p1[:n]] @ s.kf_R[kf].T + s.kf_t[kf]
             pc2[:n] = s.point_pos[p2[:n]] @ s.kf_R[c].T + s.kf_t[c]
             val[:n] = True
-            res = solve_sim3(
-                jnp.asarray(pc1), jnp.asarray(pc2), jnp.asarray(val),
-                cam.fx, cam.fy, cam.cx, cam.cy,
-                jax.random.PRNGKey(kf * 1000 + c),
-                fix_scale=self.fix_scale,
-                min_inliers=self.cfg.loop.min_sim3_inliers,
-            )
-            if bool(res.ok):
-                # GN polish (reference: OptimizeSim3 between RANSAC and the
-                # guided-projection verification, LoopClosing.cc:380)
-                from gf_orb_slam2_tpu.loopclosing.sim3solver import optimize_sim3
-
-                s_o, R_o, t_o, inl_o = optimize_sim3(
-                    res.s, res.R, res.t,
-                    jnp.asarray(pc1), jnp.asarray(pc2), res.inliers,
-                    cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=self.fix_scale,
-                )
-                n_o = int(jnp.sum(inl_o))
+            dev_in = jax.device_put((pc1, pc2, val))
+            res_ok, s_o, R_o, t_o, inl_o = jax.device_get(self._sim3_jit(
+                *dev_in, jax.random.PRNGKey(kf * 1000 + c)))
+            if bool(res_ok):
+                n_o = int(np.asarray(inl_o).sum())
                 if n_o < self.cfg.loop.min_sim3_inliers:
                     continue
                 # guided cross-projection verification over ALL mapped
@@ -197,24 +241,11 @@ class LoopCloser:
 
         pc1, d1, v1 = kf_points(kf)
         pc2, d2, v2 = kf_points(c)
-
-        def cam_project(p):
-            z = jnp.maximum(p[..., 2], 1e-6)
-            return (
-                jnp.stack(
-                    [cam.fx * p[..., 0] / z + cam.cx, cam.fy * p[..., 1] / z + cam.cy],
-                    -1,
-                ),
-                p[..., 2],
-            )
-
-        m = matcher.search_by_sim3(
-            jnp.asarray(np.float32(s12)), jnp.asarray(R12), jnp.asarray(t12),
-            jnp.asarray(pc1), jnp.asarray(pc2),
-            jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(v1), jnp.asarray(v2),
-            cam_project,
-        )
-        return int(np.asarray(m.valid).sum())
+        self._ensure_jits()
+        dev_in = jax.device_put(
+            (np.float32(s12), np.asarray(R12, np.float32),
+             np.asarray(t12, np.float32), pc1, pc2, d1, d2, v1, v2))
+        return int(jax.device_get(self._guided_jit(*dev_in)))
 
     # ----------------------------------------------------- loop correction
     def _correct_loop(self, kf: int, loop_kf: int, s12, R12, t12, st: LoopStats):
@@ -233,16 +264,12 @@ class LoopCloser:
         current camera, i.e. gScm = our S12⁻¹ (LoopClosing.cc:300-420).
         """
         s = self.store
-        si, Ri, ti = lie.sim3_inv(
-            jnp.asarray(np.float32(s12)), jnp.asarray(R12), jnp.asarray(t12)
-        )
-        s_corr, R_corr, t_corr = lie.sim3_compose(
-            si, Ri, ti,
-            jnp.asarray(np.float32(1.0)), jnp.asarray(s.kf_R[loop_kf]), jnp.asarray(s.kf_t[loop_kf]),
-        )
-        s_corr = float(s_corr)
-        R_corr = np.asarray(R_corr)
-        t_corr = np.asarray(t_corr)
+        # host-side Sim3 algebra: these are a handful of 3x3 products per
+        # neighborhood KF — running them as eager jnp ops paid a relay
+        # dispatch EACH (hundreds of ms per correction); numpy is exact here
+        si, Ri, ti = _np_sim3_inv(float(s12), np.asarray(R12), np.asarray(t12))
+        s_corr, R_corr, t_corr = _np_sim3_compose(
+            si, Ri, ti, 1.0, s.kf_R[loop_kf], s.kf_t[loop_kf])
 
         # --- propagate correction to the covisible neighborhood
         neighborhood = [kf] + [int(x) for x in s.covisible_kfs(kf)]
@@ -254,27 +281,18 @@ class LoopCloser:
             # relative pose to kf (pre-correction): T_k_kf = T_k ∘ T_kf⁻¹
             R_rel = old_R[k] @ old_R[kf].T
             t_rel = old_t[k] - R_rel @ old_t[kf]
-            sk, Rk, tk = lie.sim3_compose(
-                jnp.asarray(np.float32(1.0)), jnp.asarray(R_rel), jnp.asarray(t_rel),
-                jnp.asarray(np.float32(s_corr)), jnp.asarray(R_corr), jnp.asarray(t_corr),
-            )
-            sk = float(sk)
+            sk, Rk_np, tk_np = _np_sim3_compose(
+                1.0, R_rel, t_rel, s_corr, R_corr, t_corr)
             corr_s[k] = sk
             # correct this KF's points: X_new = T_new⁻¹( s·T_old(X) )
-            Rk_np, tk_np = np.asarray(Rk), np.asarray(tk)
             pts = s.kf_point[k]
             pts = np.unique(pts[pts >= 0])
             pts = pts[s.point_valid[pts] & ~moved_mask[pts]]
             if pts.size:
                 pc = s.point_pos[pts] @ old_R[k].T + old_t[k]
                 # X_new = S_new⁻¹(pc): re-anchor through the corrected Sim3
-                s_inv, R_inv, t_inv = lie.sim3_inv(
-                    jnp.asarray(np.float32(sk)), jnp.asarray(Rk_np), jnp.asarray(tk_np)
-                )
-                pw = np.asarray(lie.sim3_apply(
-                    jnp.broadcast_to(s_inv, (pts.size,)), R_inv, t_inv, jnp.asarray(pc)
-                ))
-                s.point_pos[pts] = pw
+                s_inv, R_inv, t_inv = _np_sim3_inv(sk, Rk_np, tk_np)
+                s.point_pos[pts] = s_inv * (pc @ R_inv.T) + t_inv
                 s.mark_dirty(pts)
                 moved_mask[pts] = True
             s.set_kf_pose(k, Rk_np, tk_np / sk)
@@ -452,24 +470,43 @@ class LoopCloser:
                     seen.add((min(k, le), max(k, le)))
         if not e_i:
             return
-        valid = np.zeros(K, bool)
+        # bucket K and E to stable shapes so optimize_pose_graph's compiled
+        # program is reused across loop events (padding: invalid vertices +
+        # zero-weight self-edges at vertex 0 contribute nothing)
+        K_pad = max(64, 1 << int(np.ceil(np.log2(K))))
+        E = len(e_i)
+        E_pad = max(256, 1 << int(np.ceil(np.log2(E))))
+        pad = E_pad - E
+        e_i = np.asarray(e_i + [0] * pad, np.int32)
+        e_j = np.asarray(e_j + [0] * pad, np.int32)
+        e_s = np.asarray(e_s + [1.0] * pad, np.float32)
+        e_R = np.concatenate(
+            [np.stack(e_R), np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))]
+        ) if pad else np.stack(e_R)
+        e_t = np.concatenate(
+            [np.stack(e_t), np.zeros((pad, 3), np.float32)]
+        ) if pad else np.stack(e_t)
+        e_w = np.asarray(e_w + [0.0] * pad, np.float32)
+        valid = np.zeros(K_pad, bool)
         valid[kfs] = True
-        fixed = np.zeros(K, bool)
+        fixed = np.zeros(K_pad, bool)
         fixed[loop_kf] = True  # reference fixes the loop KF
+        R_pad = np.tile(np.eye(3, dtype=np.float32), (K_pad, 1, 1))
+        t_pad = np.zeros((K_pad, 3), np.float32)
+        R_pad[:K] = s.kf_R[:K]
+        t_pad[:K] = s.kf_t[:K]
+        dev = jax.device_put((R_pad, t_pad, fixed, valid, e_i, e_j, e_s, e_R,
+                              e_t, e_w))
         prob = PoseGraphProblem(
-            s=jnp.ones(K, jnp.float32),
-            R=jnp.asarray(s.kf_R[:K]), t=jnp.asarray(s.kf_t[:K]),
-            fixed=jnp.asarray(fixed), valid=jnp.asarray(valid),
-            e_i=jnp.asarray(e_i, jnp.int32), e_j=jnp.asarray(e_j, jnp.int32),
-            e_s=jnp.asarray(e_s, jnp.float32), e_R=jnp.asarray(np.stack(e_R)),
-            e_t=jnp.asarray(np.stack(e_t)), e_w=jnp.asarray(e_w, jnp.float32),
+            s=jnp.ones(K_pad, jnp.float32),
+            R=dev[0], t=dev[1], fixed=dev[2], valid=dev[3],
+            e_i=dev[4], e_j=dev[5], e_s=dev[6], e_R=dev[7],
+            e_t=dev[8], e_w=dev[9],
             fix_scale=self.fix_scale,
         )
-        s_opt, R_opt, t_opt, cost = optimize_pose_graph(prob, iters=15)
+        s_np, R_np, t_np, cost = jax.device_get(
+            optimize_pose_graph(prob, iters=15))
         st.pg_cost = float(cost)
-        s_np = np.asarray(s_opt)
-        R_np = np.asarray(R_opt)
-        t_np = np.asarray(t_opt)
         # transform points with their reference KF's correction
         moved_mask = np.zeros(s.cap.max_map_points, bool)
         for k in kfs:

@@ -66,6 +66,10 @@ class LocalMapper:
         self._jit_fuse = jax.jit(self._fuse_impl)
         self._ba_shapes = {}
         self.stats: List[MappingStats] = []
+        # dispatch→fetch wall time of each stage's device program (includes
+        # the ~26 ms relay round trip); feeds tools/mapper_timer.py
+        from collections import defaultdict
+        self.device_ms = defaultdict(list)
         # accumulated sub-threshold BA corrections not yet mirror-synced
         self._unsynced_drift = np.zeros(cfg.capacity.max_map_points, np.float32)
 
@@ -251,8 +255,12 @@ class LocalMapper:
             (np.int32(kf), np.asarray(kns, np.int32), free_k, free_n))
         if not hasattr(self, "_jit_triangulate_batch"):
             self._jit_triangulate_batch = jax.jit(self._triangulate_mirror_impl)
+        import time as _time
+        _t0 = _time.perf_counter()
         Xw_b, idx2_b, ok_b = jax.device_get(
             self._jit_triangulate_batch(*dev_in, s.kf_mirror.arrays))
+        self.device_ms["triangulate"].append(
+            (_time.perf_counter() - _t0) * 1e3)
         created = 0
         new_ids: List[int] = []
         with s.lock:
@@ -363,8 +371,11 @@ class LocalMapper:
         dev_in = jax.device_put((dsts, src_ids))
         if not hasattr(self, "_jit_fuse_batch"):
             self._jit_fuse_batch = jax.jit(self._fuse_mirror_impl)
+        import time as _time
+        _t0 = _time.perf_counter()
         idx_b, ok_b = jax.device_get(self._jit_fuse_batch(
             *dev_in, s.kf_mirror.arrays, s.mirror.arrays))
+        self.device_ms["fuse"].append((_time.perf_counter() - _t0) * 1e3)
         fused = 0
         with s.lock:
             for bi in range(n_pairs):
@@ -518,12 +529,15 @@ class LocalMapper:
         finally:
             s.lock.release()
         # blocking device solve — OUTSIDE the map lock
+        import time as _time
+        _t0 = _time.perf_counter()
         if use_gg:
             res, sel_np = jax.device_get(handle)
             fixed_mask = fixed_mask | (~sel_np & ~fixed_mask & kf_valid)
             st.ba_kfs = int((~fixed_mask & kf_valid).sum())
         else:
             res = jax.device_get(handle)
+        self.device_ms["ba_solve"].append((_time.perf_counter() - _t0) * 1e3)
         # ---- write back (one batched transfer)
         with s.lock:
             kf_R = np.asarray(res.kf_R)[:K]

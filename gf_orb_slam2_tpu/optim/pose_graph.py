@@ -57,7 +57,30 @@ def _edge_residual_delta(delta, si, Ri, ti, sj, Rj, tj, sm, Rm, tm):
     return _edge_residual(si2, Ri2, ti2, sj2, Rj2, tj2, sm, Rm, tm)
 
 
+_JIT_CACHE = {}
+
+
 def optimize_pose_graph(
+    prob: PoseGraphProblem, iters: int = 15, damping: float = 1e-6,
+):
+    """Jitted entry (cached per shape): running the 15-iteration GN scan
+    eagerly paid a fresh remote compile per (K,E) shape at every loop event
+    — callers bucket K/E so steady state reuses one compiled program."""
+    fs = bool(prob.fix_scale)
+    key = (prob.s.shape[0], prob.e_i.shape[0], fs, iters, float(damping))
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        def run(s, R, t, fixed, valid, e_i, e_j, e_s, e_R, e_t, e_w):
+            p = PoseGraphProblem(s, R, t, fixed, valid,
+                                 e_i, e_j, e_s, e_R, e_t, e_w, fs)
+            return _optimize_pose_graph_impl(p, iters, damping)
+
+        fn = _JIT_CACHE[key] = jax.jit(run)
+    return fn(prob.s, prob.R, prob.t, prob.fixed, prob.valid, prob.e_i,
+              prob.e_j, prob.e_s, prob.e_R, prob.e_t, prob.e_w)
+
+
+def _optimize_pose_graph_impl(
     prob: PoseGraphProblem, iters: int = 15, damping: float = 1e-6,
 ):
     """Returns (s, R, t) optimized. Vertices with fixed/invalid are pinned."""

@@ -70,6 +70,12 @@ def main():
     for k in sorted(ACC, key=lambda k: -ACC[k]):
         print(f"  {k:24s} {1e3 * ACC[k] / max(CNT[k], 1):8.1f} ms/call "
               f"({CNT[k]} calls, {ACC[k]:.2f} s total)")
+    print("\ndevice dispatch→fetch per stage (median ms; incl ~26 ms relay "
+          "round trip):")
+    for k, v in sorted(slam.mapper.device_ms.items()):
+        v = np.asarray(v)
+        print(f"  {k:24s} {np.median(v):8.1f} ms  (p90 "
+              f"{np.percentile(v, 90):.1f}, n={v.size})")
 
 
 if __name__ == "__main__":
