@@ -77,6 +77,7 @@ def render_sequence(n_frames=N_FRAMES):
 def main():
     from gf_orb_slam2_tpu.config import (
         CameraConfig, CapacityConfig, ORBConfig, Sensor, SystemConfig,
+        TrackingConfig,
     )
     from gf_orb_slam2_tpu.io.evaluation import ate_rmse
     from gf_orb_slam2_tpu.system import System
@@ -89,6 +90,11 @@ def main():
         orb=ORBConfig(n_features=800),
         capacity=CapacityConfig(max_keypoints=1024, max_map_points=40000,
                                 max_keyframes=300, max_local_points=4096),
+        # mapping + loop closing on the background worker (the reference's
+        # LocalMapping/LoopClosing THREADS, System.cc:113-124): keyframe
+        # events no longer stall the frame path, which is what the
+        # reference's 19.1 ms tracking-thread number also assumes
+        tracking=TrackingConfig(async_mapping=True),
     )
     sys_ = System(cfg)
     est = {}
@@ -107,12 +113,14 @@ def main():
         if i >= 10:
             sync_times.append(dt)
     times = []
+    trace = []  # (frame, ms, kf_count_so_far) for BENCH_TRACE.json
     for i in range(16, N_FRAMES):
         t0 = time.perf_counter()
         for fid, T in sys_.track_stereo_pipelined(imgs[i, 0], imgs[i, 1],
                                                   i / 20.0):
             note(fid, T)
         dt = (time.perf_counter() - t0) * 1e3
+        trace.append((i, round(dt, 2), int(sys_.store.n_keyframes)))
         if i >= WARM:
             times.append(dt)
     for fid, T in sys_.flush_pipeline():
@@ -122,19 +130,30 @@ def main():
     common = sorted(est)
     ate = float(ate_rmse(np.stack([est[i] for i in common]), gt[common]))
     med = float(np.median(times))
+    mean = float(np.mean(times))
+    # headline = the MEAN: the sustained number a robot experiences, and the
+    # apples-to-apples match for the reference's 19.1 ms tracking-thread
+    # average (its mapping/loop threads run concurrently, as ours now do)
     print(json.dumps({
-        "metric": "stereo_tracking_ms_per_frame",
-        "value": round(med, 3),
+        "metric": "stereo_tracking_ms_per_frame_mean",
+        "value": round(mean, 3),
         "unit": "ms/frame",
-        "vs_baseline": round(BASELINE_MS / med, 3),
+        "vs_baseline": round(BASELINE_MS / mean, 3),
+        "median_ms": round(med, 3),
         "p90_ms": round(float(np.percentile(times, 90)), 3),
-        "mean_ms": round(float(np.mean(times)), 3),
         "sync_latency_ms": round(float(np.median(sync_times)), 3),
         "n_frames_measured": len(times),
         "n_keyframes": int(n_kf),
+        "n_stream_fallbacks": int(getattr(sys_, "n_stream_fallbacks", 0)),
         "ate_m": round(ate, 4),
         "scene": "rendered 6-DoF room tour (real textures), 300 frames",
     }))
+    if os.environ.get("BENCH_TRACE"):
+        with open("BENCH_TRACE.json", "w") as f:
+            json.dump({"trace": trace,
+                       "mapper_device_ms": {
+                           k: [round(x, 1) for x in v]
+                           for k, v in sys_.mapper.device_ms.items()}}, f)
 
 
 if __name__ == "__main__":

@@ -221,10 +221,18 @@ class TrackingConfig:
 
 @dataclasses.dataclass(frozen=True)
 class LocalBAConfig:
-    """Local BA solve (reference: Optimizer.cc:1248-1545 — g2o LM 5+10 iters)."""
+    """Local BA solve (reference: Optimizer.cc:1248-1545 — g2o LM 5+10
+    iters). A shorter 3+5 schedule was measured 2x cheaper on device
+    (tools/ba_breakdown.py) but DOUBLES closed-circle drift (rendered loop
+    gate: ATE 0.19 m vs 0.10 m) — the reference schedule stays the default;
+    with async mapping its cost overlaps tracking anyway."""
 
     iters_first: int = 5
     iters_second: int = 10
+    # BA problem point cap: the window's points are ranked by observation
+    # count and truncated — beyond ~2k the tail is 2-obs points that add
+    # einsum cost [P,O,...] linearly but almost no pose information
+    max_points: int = 2048
     huber_mono: float = 2.4477  # sqrt(5.991)
     huber_stereo: float = 2.7955  # sqrt(7.815)
     chi2_mono: float = 5.991

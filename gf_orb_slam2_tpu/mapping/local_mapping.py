@@ -195,16 +195,29 @@ class LocalMapper:
         KB of ids/masks instead of MBs of gathered arrays (the relay charges
         ~0.014 ms/KB plus fixed per-leaf costs)."""
         s = self.store
-        if s.mirror is None:
-            from gf_orb_slam2_tpu.slammap.device_mirror import DeviceMapMirror
+        # creation under the store lock: the prewarm daemon thread and the
+        # pipeline may race here
+        with s.lock:
+            if s.mirror is None:
+                from gf_orb_slam2_tpu.slammap.device_mirror import (
+                    DeviceMapMirror,
+                )
 
-            s.mirror = DeviceMapMirror(s)
-        if s.kf_mirror is None:
-            from gf_orb_slam2_tpu.slammap.device_mirror import DeviceKFMirror
+                s.mirror = DeviceMapMirror(s)
+            if s.kf_mirror is None:
+                from gf_orb_slam2_tpu.slammap.device_mirror import (
+                    DeviceKFMirror,
+                )
 
-            s.kf_mirror = DeviceKFMirror(s)
+                s.kf_mirror = DeviceKFMirror(s)
+        import time as _time
+        _t0 = _time.perf_counter()
         s.mirror.sync()
+        _t1 = _time.perf_counter()
         s.kf_mirror.sync()
+        _t2 = _time.perf_counter()
+        self.device_ms["mirror_pt_sync"].append((_t1 - _t0) * 1e3)
+        self.device_ms["mirror_kf_sync"].append((_t2 - _t1) * 1e3)
 
     def _triangulate_mirror_impl(self, kf_id, kns, free_k, free_n, kfm):
         R1, t1 = kfm["R"][kf_id], kfm["t"][kf_id]
@@ -230,6 +243,8 @@ class LocalMapper:
         just indices + free masks. Cross-pair duplicate claims are resolved
         in the host write-back.
         """
+        import time as _time
+        _ta = _time.perf_counter()
         s = self.store
         self._ensure_mirrors()
         with s.lock:
@@ -255,12 +270,12 @@ class LocalMapper:
             (np.int32(kf), np.asarray(kns, np.int32), free_k, free_n))
         if not hasattr(self, "_jit_triangulate_batch"):
             self._jit_triangulate_batch = jax.jit(self._triangulate_mirror_impl)
-        import time as _time
         _t0 = _time.perf_counter()
+        self.device_ms["tri_pre_host"].append((_t0 - _ta) * 1e3)
         Xw_b, idx2_b, ok_b = jax.device_get(
             self._jit_triangulate_batch(*dev_in, s.kf_mirror.arrays))
-        self.device_ms["triangulate"].append(
-            (_time.perf_counter() - _t0) * 1e3)
+        _tw = _time.perf_counter()
+        self.device_ms["triangulate"].append((_tw - _t0) * 1e3)
         created = 0
         new_ids: List[int] = []
         with s.lock:
@@ -293,6 +308,8 @@ class LocalMapper:
 
                 refresh_points_batch(s, np.asarray(new_ids), self.level_scales)
                 s.update_connections(kf)
+        self.device_ms["tri_writeback_host"].append(
+            (_time.perf_counter() - _tw) * 1e3)
         return created
 
     # ------------------------------------------------------------- fusion
@@ -342,6 +359,8 @@ class LocalMapper:
         points into neighbors and vice versa; merge duplicates. All pairs run
         as one vmapped device program; the upload is point IDS + KF indices
         (data gathered from the device mirrors)."""
+        import time as _time
+        _ta = _time.perf_counter()
         s = self.store
         self._ensure_mirrors()
         with s.lock:
@@ -371,11 +390,12 @@ class LocalMapper:
         dev_in = jax.device_put((dsts, src_ids))
         if not hasattr(self, "_jit_fuse_batch"):
             self._jit_fuse_batch = jax.jit(self._fuse_mirror_impl)
-        import time as _time
         _t0 = _time.perf_counter()
+        self.device_ms["fuse_pre_host"].append((_t0 - _ta) * 1e3)
         idx_b, ok_b = jax.device_get(self._jit_fuse_batch(
             *dev_in, s.kf_mirror.arrays, s.mirror.arrays))
-        self.device_ms["fuse"].append((_time.perf_counter() - _t0) * 1e3)
+        _tw = _time.perf_counter()
+        self.device_ms["fuse"].append((_tw - _t0) * 1e3)
         fused = 0
         with s.lock:
             for bi in range(n_pairs):
@@ -398,6 +418,8 @@ class LocalMapper:
                     else:
                         s.add_observation(p, dst, j)
             s.update_connections(kf)
+        self.device_ms["fuse_writeback_host"].append(
+            (_time.perf_counter() - _tw) * 1e3)
         return fused
 
     # ------------------------------------------------------------ local BA
@@ -409,6 +431,8 @@ class LocalMapper:
         points. `good_graph_select` optionally reduces the free-KF set
         (good-graph subgraph selection, selection/good_graph.py).
         """
+        import time as _time
+        _ta = _time.perf_counter()
         s = self.store
         self._ensure_mirrors()
         # host assembly + dispatch run under the map lock; the lock is
@@ -424,7 +448,8 @@ class LocalMapper:
         pts = np.unique(s.kf_point[window])
         pts = pts[pts >= 0]
         pts = pts[s.point_valid[pts]]
-        P_CAP = self.cfg.capacity.max_local_points
+        P_CAP = min(self.cfg.capacity.max_local_points,
+                    self.cfg.local_ba.max_points)
         if pts.size > P_CAP:
             order = np.argsort(-s.point_nobs[pts], kind="stable")
             pts = pts[order[:P_CAP]]
@@ -456,10 +481,9 @@ class LocalMapper:
         obs_kf_arr[~obs_valid] = -1
         obs_slot[~obs_valid] = -1
 
-        # pad P to a jit-stable bucket — only TWO buckets (1024 and the pool
-        # cap) so steady state never sees a fresh compile mid-sequence
-        P_CAP2 = self.cfg.capacity.max_local_points
-        P_pad = min(1024, P_CAP2) if P <= 1024 else P_CAP2
+        # pad P to a jit-stable bucket — only TWO buckets (1024 and the BA
+        # point cap) so steady state never sees a fresh compile mid-sequence
+        P_pad = min(1024, P_CAP) if P <= 1024 else P_CAP
         # K likewise: small maps use the small bucket (padding to the 60-KF
         # reference pool costs ~2.4x BA compute for nothing early on)
         K_pad = 48 if K <= 24 else 2 * K_CAP  # window + fixed
@@ -529,8 +553,8 @@ class LocalMapper:
         finally:
             s.lock.release()
         # blocking device solve — OUTSIDE the map lock
-        import time as _time
         _t0 = _time.perf_counter()
+        self.device_ms["ba_assemble_host"].append((_t0 - _ta) * 1e3)
         if use_gg:
             res, sel_np = jax.device_get(handle)
             fixed_mask = fixed_mask | (~sel_np & ~fixed_mask & kf_valid)
@@ -538,6 +562,7 @@ class LocalMapper:
         else:
             res = jax.device_get(handle)
         self.device_ms["ba_solve"].append((_time.perf_counter() - _t0) * 1e3)
+        _tw = _time.perf_counter()
         # ---- write back (one batched transfer)
         with s.lock:
             kf_R = np.asarray(res.kf_R)[:K]
@@ -566,6 +591,8 @@ class LocalMapper:
             for pi, o in zip(bad_p, bad_o):
                 ki = obs_kf_arr[pi, o]
                 s.remove_observation(int(pts[pi]), int(kfs[ki]))
+        self.device_ms["ba_writeback_host"].append(
+            (_time.perf_counter() - _tw) * 1e3)
         st.ba_cost = float(res.final_cost)
         if not use_gg:
             st.ba_kfs = len(window)
@@ -593,10 +620,11 @@ class LocalMapper:
             obs_valid=obs_valid,
         )
 
-    def _run_ba_jit(self, up, mirrors, cam, free_cap):
-        key = ("ba", up[3].shape[0], up[0].shape[0], up[4].shape[1], free_cap)
+    def _get_ba_jit(self, P_pad, K_pad, O, free_cap):
+        key = ("ba", P_pad, K_pad, O, free_cap)
         if key not in self._ba_shapes:
             lb = self.cfg.local_ba
+            cam = self.cfg.camera
 
             def run(u, kfm, ptm):
                 pr = self._build_problem_on_device(u, kfm, ptm)
@@ -607,14 +635,20 @@ class LocalMapper:
                 )
 
             self._ba_shapes[key] = jax.jit(run)
-        return self._ba_shapes[key](up, *mirrors)
+        return self._ba_shapes[key]
 
-    def _run_gg_ba_jit(self, up, mirrors, rng, cam, n_sel, free_cap):
+    def _run_ba_jit(self, up, mirrors, cam, free_cap):
+        fn = self._get_ba_jit(up[3].shape[0], up[0].shape[0],
+                              up[4].shape[1], free_cap)
+        return fn(up, *mirrors)
+
+    def _get_gg_ba_jit(self, P_pad, K_pad, O, free_cap):
         """Good-graph selection + local BA fused into one device program
         (one dispatch, one blocking fetch). `n_sel` is a traced scalar so the
         anticipation budget varies per KF event without recompiling.
         Returns (ba_result, sel_mask)."""
-        key = ("ggba", up[3].shape[0], up[0].shape[0], up[4].shape[1], free_cap)
+        cam = self.cfg.camera
+        key = ("ggba", P_pad, K_pad, O, free_cap)
         if key not in self._ba_shapes:
             from gf_orb_slam2_tpu.optim.local_ba import pose_schur_blocks
             from gf_orb_slam2_tpu.selection.good_graph import select_subgraph
@@ -645,7 +679,78 @@ class LocalMapper:
                 return res, sel
 
             self._ba_shapes[key] = jax.jit(run)
-        return self._ba_shapes[key](up, *mirrors, rng, n_sel)
+        return self._ba_shapes[key]
+
+    def _run_gg_ba_jit(self, up, mirrors, rng, cam, n_sel, free_cap):
+        fn = self._get_gg_ba_jit(up[3].shape[0], up[0].shape[0],
+                                 up[4].shape[1], free_cap)
+        return fn(up, *mirrors, rng, n_sel)
+
+    def prewarm_async(self):
+        """AOT-compile (or cache-load) every fixed-shape mapper program on a
+        daemon thread at startup: first use of the triangulation / fusion /
+        BA programs otherwise stalls the pipeline 0.5-10 s MID-SEQUENCE
+        (r4 bench trace: frames 96-139 stalled 0.7-1.3 s on bucket
+        first-use; the first KF event stalled ~10 s)."""
+        from gf_orb_slam2_tpu.slammap.device_mirror import _prewarm_async
+
+        _prewarm_async(self._prewarm)
+
+    def _prewarm(self):
+        try:
+            self._ensure_mirrors()
+            s = self.store
+            spec = jax.ShapeDtypeStruct
+            kfm = {k: spec(v.shape, v.dtype)
+                   for k, v in s.kf_mirror.arrays.items()}
+            ptm = {k: spec(v.shape, v.dtype)
+                   for k, v in s.mirror.arrays.items()}
+            B, N = self.TRI_BATCH, self.n_kp
+            if not hasattr(self, "_jit_triangulate_batch"):
+                self._jit_triangulate_batch = jax.jit(
+                    self._triangulate_mirror_impl)
+            self._jit_triangulate_batch.lower(
+                spec((), jnp.int32), spec((B,), jnp.int32),
+                spec((N,), jnp.bool_), spec((B, N), jnp.bool_), kfm,
+            ).compile()
+            FB = self.FUSE_BATCH
+            if not hasattr(self, "_jit_fuse_batch"):
+                self._jit_fuse_batch = jax.jit(self._fuse_mirror_impl)
+            self._jit_fuse_batch.lower(
+                spec((FB,), jnp.int32), spec((FB, N), jnp.int32), kfm, ptm,
+            ).compile()
+            # BA shape buckets (must mirror run_local_ba's bucketing)
+            O = 12
+            P_CAP = min(self.cfg.capacity.max_local_points,
+                        self.cfg.local_ba.max_points)
+            K_CAP = min(max(self.cfg.good_graph.max_pool, 8), 60)
+            fc_big = ((K_CAP + 4 + 7) // 8) * 8
+            P_small = min(1024, P_CAP)
+
+            def up_spec(P_pad, K_pad):
+                return (
+                    spec((K_pad,), jnp.int32), spec((K_pad,), jnp.bool_),
+                    spec((K_pad,), jnp.bool_), spec((P_pad,), jnp.int32),
+                    spec((P_pad, O), jnp.int32), spec((P_pad, O), jnp.int32),
+                    spec((P_pad, O), jnp.bool_),
+                )
+
+            for (P_pad, K_pad, fc) in {(P_small, 48, 32), (P_CAP, 48, 32),
+                                       (P_small, 2 * K_CAP, fc_big),
+                                       (P_CAP, 2 * K_CAP, fc_big)}:
+                self._get_ba_jit(P_pad, K_pad, O, fc).lower(
+                    up_spec(P_pad, K_pad), kfm, ptm).compile()
+            if self.cfg.good_graph.enabled:
+                key_spec = spec((2,), jnp.uint32)
+                for (P_pad, K_pad, fc) in {(P_small, 2 * K_CAP, fc_big),
+                                           (P_CAP, 2 * K_CAP, fc_big)}:
+                    self._get_gg_ba_jit(P_pad, K_pad, O, fc).lower(
+                        up_spec(P_pad, K_pad), kfm, ptm, key_spec,
+                        spec((), jnp.int32)).compile()
+        except Exception:  # prewarm is best-effort; real use recompiles
+            import logging
+
+            logging.getLogger(__name__).exception("mapper prewarm failed")
 
     # --------------------------------------------------------- KF culling
     def cull_keyframes(self, kf: int) -> int:

@@ -26,8 +26,41 @@ import jax.numpy as jnp
 
 from gf_orb_slam2_tpu.utils.packing import Layout
 
-# delta-size buckets (points per sync) to bound recompilation
-_BUCKETS = (256, 1024, 4096, 16384)
+# delta-size buckets (points per sync). Kept SMALL IN NUMBER: every bucket
+# size is a separate scatter program whose first use costs a ~0.5-1.3 s
+# remote compile/cache-load mid-run (r4 bench trace) — two sizes bound the
+# padding waste at ~1 MB while keeping first-use stalls to two, and both are
+# AOT-prewarmed in a background thread at mirror creation.
+_BUCKETS = (1024, 4096)
+
+
+def _cpu_backend() -> bool:
+    """XLA:CPU on this container EMULATES scatter (+prefer-no-scatter AOT
+    flags): a single [4k]→[40k,8] .at[].set measured 367 s of EXECUTION.
+    On CPU the mirror therefore refreshes with plain device_put (a memcpy in
+    the same address space); the packed-delta scatter path is TPU-only."""
+    return jax.default_backend() == "cpu"
+
+
+def _prewarm_async(fn):
+    """Run compile-prewarming on a daemon thread: remote compiles/cache
+    loads take 0.5-10 s each and must not stall construction or, worse,
+    land in the middle of the tracked sequence."""
+    import os
+    import threading
+
+    if os.environ.get("GF_SLAM_NO_PREWARM"):
+        return
+
+    def safe():
+        try:
+            fn()
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).exception("mirror prewarm failed")
+
+    threading.Thread(target=safe, daemon=True).start()
 
 
 class DeviceMapMirror:
@@ -47,6 +80,47 @@ class DeviceMapMirror:
             ))
         self._layouts = {}
         self._jits = {}
+        _prewarm_async(self._prewarm)
+
+    def _prewarm(self):
+        """Compile every bucket's scatter program ahead of use (background
+        thread; AOT lower+compile touches no live buffers)."""
+        if _cpu_backend():
+            return
+        for D in _BUCKETS:
+            self._ensure_jit(D)
+            lay = self._layouts[D]
+            specs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                     for k, v in self.arrays.items()}
+            buf = jax.ShapeDtypeStruct((lay.total,), jnp.uint32)
+            self._jits[D].lower(specs, buf).compile()
+
+    def _ensure_jit(self, D):
+        if D in self._jits:
+            return
+
+        lay = Layout([
+            ("ids", (D,), "i32"),
+            ("pos", (D, 3), "f32"), ("normal", (D, 3), "f32"),
+            ("mind", (D,), "f32"), ("maxd", (D,), "f32"),
+            ("desc", (D, 8), "u32"),
+        ])
+        self._layouts[D] = lay
+
+        def update(arrays, buf):
+            u = lay.unpack_jnp(buf)
+            idx = u["ids"]
+            ok = idx >= 0
+            idc = jnp.maximum(idx, 0)
+
+            def scat(cur, new):
+                mask = ok.reshape((-1,) + (1,) * (new.ndim - 1))
+                merged = jnp.where(mask, new.astype(cur.dtype), cur[idc])
+                return cur.at[idc].set(merged)
+
+            return {k: scat(arrays[k], u[k]) for k in self.FIELDS}
+
+        self._jits[D] = jax.jit(update)
 
     def mark(self, ids):
         ids = np.asarray(ids)
@@ -60,9 +134,13 @@ class DeviceMapMirror:
         return self.P
 
     def sync(self):
-        """Ship dirty points to the device as one packed buffer. The
-        read-and-clear of the dirty mask and the host gather run under the
-        store lock (the async mapping worker marks concurrently)."""
+        """Ship dirty points to the device as packed delta buffers. Deltas
+        larger than the biggest bucket go as CHUNKS through the same
+        prewarmed scatter program — a full-array device_put measured
+        ~0.26 ms/KB through the relay (≈700 ms for the 40k-point refresh),
+        while chunked scatters pipeline. The read-and-clear of the dirty
+        mask and the host gather run under the store lock (the async
+        mapping worker marks concurrently)."""
         if not self.dirty.any():
             return
         s = self.store
@@ -71,9 +149,7 @@ class DeviceMapMirror:
             if ids.size == 0:
                 return
             self.dirty[ids] = False
-            D = self._bucket(ids.size)
-            if D == self.P:
-                # full refresh is cheaper than a capacity-sized scatter
+            if _cpu_backend():  # see _cpu_backend: scatters are emulated
                 self.arrays = jax.device_put(dict(
                     pos=s.point_pos.copy(), normal=s.point_normal.copy(),
                     mind=s.point_min_dist.copy(),
@@ -86,48 +162,30 @@ class DeviceMapMirror:
                 mind=s.point_min_dist[ids], maxd=s.point_max_dist[ids],
                 desc=s.point_desc[ids],
             )
-        if D not in self._layouts:
-            self._layouts[D] = Layout([
-                ("ids", (D,), "i32"),
-                ("pos", (D, 3), "f32"), ("normal", (D, 3), "f32"),
-                ("mind", (D,), "f32"), ("maxd", (D,), "f32"),
-                ("desc", (D, 8), "u32"),
-            ])
+        big = _BUCKETS[-1]
+        for lo in range(0, ids.size, big):
+            hi = min(lo + big, ids.size)
+            D = self._bucket(hi - lo)
+            self._ensure_jit(D)
             lay = self._layouts[D]
 
-            def update(arrays, buf):
-                u = lay.unpack_jnp(buf)
-                idx = u["ids"]
-                ok = idx >= 0
-                idc = jnp.maximum(idx, 0)
+            def padf(a, fill=0):
+                out = np.full((D,) + a.shape[1:], fill, a.dtype)
+                out[: hi - lo] = a[lo:hi]
+                return out
 
-                def scat(cur, new):
-                    mask = ok.reshape((-1,) + (1,) * (new.ndim - 1))
-                    merged = jnp.where(mask, new,
-                                       cur[idc].astype(new.dtype))
-                    return cur.at[idc].set(merged.astype(cur.dtype))
-
-                return {k: scat(arrays[k], u[k]) for k in self.FIELDS}
-
-            self._jits[D] = jax.jit(update)
-        lay = self._layouts[D]
-
-        def padf(a, fill=0):
-            out = np.full((D,) + a.shape[1:], fill, a.dtype)
-            out[: a.shape[0]] = a
-            return out
-
-        buf = lay.pack_np(dict(
-            ids=padf(host["ids"].astype(np.int32), -1),
-            pos=padf(host["pos"]), normal=padf(host["normal"]),
-            mind=padf(host["mind"]), maxd=padf(host["maxd"]),
-            desc=padf(host["desc"]),
-        ))
-        self.arrays = self._jits[D](self.arrays, jax.device_put(buf))
+            buf = lay.pack_np(dict(
+                ids=padf(host["ids"].astype(np.int32), -1),
+                pos=padf(host["pos"]), normal=padf(host["normal"]),
+                mind=padf(host["mind"]), maxd=padf(host["maxd"]),
+                desc=padf(host["desc"]),
+            ))
+            self.arrays = self._jits[D](self.arrays, jax.device_put(buf))
 
 
-# keyframe-row delta buckets (rows per sync)
-_KF_BUCKETS = (1, 4, 16, 64)
+# keyframe-row delta buckets (rows per sync) — two sizes, prewarmed (see
+# _BUCKETS note above)
+_KF_BUCKETS = (4, 64)
 
 
 class DeviceKFMirror:
@@ -159,6 +217,24 @@ class DeviceKFMirror:
         self._row_layouts = {}
         self._row_jits = {}
         self._pose_jit = None
+        _prewarm_async(self._prewarm)
+
+    def _prewarm(self):
+        if _cpu_backend():
+            return
+        specs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                 for k, v in self.arrays.items()}
+        for D in _KF_BUCKETS:
+            self._ensure_row_jit(D)
+            lay = self._row_layouts[D]
+            buf = jax.ShapeDtypeStruct((lay.total,), jnp.uint32)
+            self._row_jits[D].lower(specs, buf).compile()
+        self._ensure_pose_jit()
+        for D in _KF_BUCKETS:
+            self._pose_jit.lower(
+                specs, jax.ShapeDtypeStruct((D,), jnp.int32),
+                jax.ShapeDtypeStruct((D, 3, 3), jnp.float32),
+                jax.ShapeDtypeStruct((D, 3), jnp.float32)).compile()
 
     def mark_row(self, k):
         self.dirty_row[k] = True
@@ -179,81 +255,97 @@ class DeviceKFMirror:
             poses = np.nonzero(self.dirty_pose & ~self.dirty_row)[0]
             self.dirty_row[:] = False
             self.dirty_pose[:] = False
+            if _cpu_backend() and (rows.size or poses.size):
+                self.arrays = jax.device_put(dict(
+                    R=s.kf_R.copy(), t=s.kf_t.copy(), uv=s.kf_uv.copy(),
+                    oct=s.kf_octave.copy(), desc=s.kf_desc.copy(),
+                    ur=s.kf_u_right.copy(), kpv=s.kf_kp_valid.copy(),
+                ))
+                return
             if rows.size:
                 self._sync_rows(rows)
             if poses.size:
                 self._sync_poses(poses)
 
-    def _sync_poses(self, ids):
-        s = self.store
-        if self._pose_jit is None:
-            def upd(arrays, ids, R, t):
-                ok = ids >= 0
-                idc = jnp.maximum(ids, 0)
-                out = dict(arrays)
-                out["R"] = arrays["R"].at[idc].set(
-                    jnp.where(ok[:, None, None], R, arrays["R"][idc]))
-                out["t"] = arrays["t"].at[idc].set(
-                    jnp.where(ok[:, None], t, arrays["t"][idc]))
-                return out
+    def _ensure_pose_jit(self):
+        if self._pose_jit is not None:
+            return
 
-            self._pose_jit = jax.jit(upd)
-        D = self._bucket(ids.size)
-
-        def padf(a, fill=0):
-            out = np.full((D,) + a.shape[1:], fill, a.dtype)
-            out[: a.shape[0]] = a
+        def upd(arrays, ids, R, t):
+            ok = ids >= 0
+            idc = jnp.maximum(ids, 0)
+            out = dict(arrays)
+            out["R"] = arrays["R"].at[idc].set(
+                jnp.where(ok[:, None, None], R, arrays["R"][idc]))
+            out["t"] = arrays["t"].at[idc].set(
+                jnp.where(ok[:, None], t, arrays["t"][idc]))
             return out
 
-        dev = jax.device_put((padf(ids.astype(np.int32), -1),
-                              padf(s.kf_R[ids]), padf(s.kf_t[ids])))
-        self.arrays = self._pose_jit(self.arrays, *dev)
+        self._pose_jit = jax.jit(upd)
+
+    def _sync_poses(self, ids):
+        s = self.store
+        self._ensure_pose_jit()
+        big = _KF_BUCKETS[-1]
+        for lo in range(0, ids.size, big):
+            hi = min(lo + big, ids.size)
+            D = self._bucket(hi - lo)
+
+            def padf(a, fill=0):
+                out = np.full((D,) + a.shape[1:], fill, a.dtype)
+                out[: hi - lo] = a[lo:hi]
+                return out
+
+            dev = jax.device_put((padf(ids.astype(np.int32), -1),
+                                  padf(s.kf_R[ids]), padf(s.kf_t[ids])))
+            self.arrays = self._pose_jit(self.arrays, *dev)
+
+    def _ensure_row_jit(self, D):
+        if D in self._row_jits:
+            return
+        N = self.N
+        lay = Layout([
+            ("ids", (D,), "i32"), ("R", (D, 3, 3), "f32"),
+            ("t", (D, 3), "f32"), ("uv", (D, N, 2), "f32"),
+            ("oct", (D, N), "i32"), ("desc", (D, N, 8), "u32"),
+            ("ur", (D, N), "f32"), ("kpv", (D, N), "bool"),
+        ])
+        self._row_layouts[D] = lay
+
+        def update(arrays, buf):
+            u = lay.unpack_jnp(buf)
+            idx = u["ids"]
+            ok = idx >= 0
+            idc = jnp.maximum(idx, 0)
+
+            def scat(cur, new):
+                mask = ok.reshape((-1,) + (1,) * (new.ndim - 1))
+                merged = jnp.where(mask, new.astype(cur.dtype), cur[idc])
+                return cur.at[idc].set(merged)
+
+            return {k: scat(arrays[k], u[k]) for k in self.FIELDS}
+
+        self._row_jits[D] = jax.jit(update)
 
     def _sync_rows(self, ids):
         s = self.store
-        D = self._bucket(ids.size)
-        if D == self.K:
-            self.arrays = jax.device_put(dict(
-                R=s.kf_R.copy(), t=s.kf_t.copy(), uv=s.kf_uv.copy(),
-                oct=s.kf_octave.copy(), desc=s.kf_desc.copy(),
-                ur=s.kf_u_right.copy(), kpv=s.kf_kp_valid.copy(),
+        big = _KF_BUCKETS[-1]
+        for lo in range(0, ids.size, big):
+            hi = min(lo + big, ids.size)
+            D = self._bucket(hi - lo)
+            self._ensure_row_jit(D)
+            lay = self._row_layouts[D]
+
+            def padf(a, fill=0):
+                out = np.full((D,) + a.shape[1:], fill, a.dtype)
+                out[: hi - lo] = a[lo:hi]
+                return out
+
+            buf = lay.pack_np(dict(
+                ids=padf(ids.astype(np.int32), -1),
+                R=padf(s.kf_R[ids]), t=padf(s.kf_t[ids]),
+                uv=padf(s.kf_uv[ids]),
+                oct=padf(s.kf_octave[ids]), desc=padf(s.kf_desc[ids]),
+                ur=padf(s.kf_u_right[ids]), kpv=padf(s.kf_kp_valid[ids]),
             ))
-            return
-        N = self.N
-        if D not in self._row_layouts:
-            lay = Layout([
-                ("ids", (D,), "i32"), ("R", (D, 3, 3), "f32"),
-                ("t", (D, 3), "f32"), ("uv", (D, N, 2), "f32"),
-                ("oct", (D, N), "i32"), ("desc", (D, N, 8), "u32"),
-                ("ur", (D, N), "f32"), ("kpv", (D, N), "bool"),
-            ])
-            self._row_layouts[D] = lay
-
-            def update(arrays, buf):
-                u = lay.unpack_jnp(buf)
-                idx = u["ids"]
-                ok = idx >= 0
-                idc = jnp.maximum(idx, 0)
-
-                def scat(cur, new):
-                    mask = ok.reshape((-1,) + (1,) * (new.ndim - 1))
-                    merged = jnp.where(mask, new.astype(cur.dtype), cur[idc])
-                    return cur.at[idc].set(merged)
-
-                return {k: scat(arrays[k], u[k]) for k in self.FIELDS}
-
-            self._row_jits[D] = jax.jit(update)
-        lay = self._row_layouts[D]
-
-        def padf(a, fill=0):
-            out = np.full((D,) + a.shape[1:], fill, a.dtype)
-            out[: a.shape[0]] = a
-            return out
-
-        buf = lay.pack_np(dict(
-            ids=padf(ids.astype(np.int32), -1),
-            R=padf(s.kf_R[ids]), t=padf(s.kf_t[ids]), uv=padf(s.kf_uv[ids]),
-            oct=padf(s.kf_octave[ids]), desc=padf(s.kf_desc[ids]),
-            ur=padf(s.kf_u_right[ids]), kpv=padf(s.kf_kp_valid[ids]),
-        ))
-        self.arrays = self._row_jits[D](self.arrays, jax.device_put(buf))
+            self.arrays = self._row_jits[D](self.arrays, jax.device_put(buf))

@@ -110,9 +110,12 @@ class _MappingWorker:
                 self._q.task_done()
                 return
             try:
-                # newer KFs already queued → skip this BA (reference aborts
-                # the running local BA when a KF arrives, LocalMapping mbAbortBA)
-                self.sys._on_keyframe(kf, skip_ba=self._q.qsize() >= 1)
+                # real backlog (≥2 newer KFs queued) → skip this BA
+                # (reference aborts the running local BA when a KF arrives,
+                # LocalMapping mbAbortBA). At =1 the BA still runs: its ~90 ms
+                # device solve overlaps tracking, and skipping most BAs was
+                # measured to cost ~15% ATE on the tour scene
+                self.sys._on_keyframe(kf, skip_ba=self._q.qsize() >= 2)
             except Exception as e:  # surfaced at the next wait_idle()
                 self._error = e
             finally:
@@ -153,6 +156,9 @@ class System:
         self.mapper = LocalMapper(cfg, self.store, n_kp, scales)
         # anticipation budgeting reads the tracker's motion model
         self.mapper.velocity_provider = lambda: self.tracker.velocity
+        # background-compile the mapper's fixed-shape programs so first KF
+        # events don't stall the live pipeline on remote compiles
+        self.mapper.prewarm_async()
         self.frame_id = 0
         # streaming pipeline state (track_stereo_pipelined)
         from collections import deque
@@ -233,6 +239,7 @@ class System:
         # after KF bookkeeping nulls _cached_pool, or the track went LOST) —
         # re-check and fall back to the synchronous path for this frame
         if not tr.stream_ready():
+            self.n_stream_fallbacks = getattr(self, "n_stream_fallbacks", 0) + 1
             done += self.flush_pipeline()
             pose = self.track_stereo(im_left, im_right, timestamp)
             return done + [(self.frame_id - 1, pose)]

@@ -686,8 +686,18 @@ class Tracker:
         s = self.store
         pts = self._gather_local_map(frame)
         if pts is None or pts.size == 0:
-            self._cached_pool = None
+            # transient empty gather (post-KF bookkeeping can momentarily
+            # orphan the frame's matches): KEEP the previous pool for up to
+            # two frames — its ids are re-resolved against the live store at
+            # completion anyway, and nulling it forced a full pipeline flush
+            # + sync fallback (~0.3-1 s with the mapper queue drained). A
+            # PERSISTENTLY empty gather means the track is genuinely failing:
+            # drop the pool so tracking falls back to its robust paths.
+            self._pool_stale_frames = getattr(self, "_pool_stale_frames", 0) + 1
+            if self._pool_stale_frames > 2:
+                self._cached_pool = None
             return
+        self._pool_stale_frames = 0
         L = self.cfg.capacity.max_local_points
         n_loc = min(pts.size, L)
         pts = pts[:n_loc]

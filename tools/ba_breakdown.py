@@ -108,3 +108,21 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def extra():
+    """A/B: P bucket 2048 and 3+5 iters at the big-window shape."""
+    from gf_orb_slam2_tpu.optim.local_ba import local_bundle_adjustment
+    fx = fy = 450.0
+    cx, cy, bf = 320.0, 240.0, 45.0
+    for (K_pad, P_pad, free_cap, n_free) in [
+        (120, 2048, 64, 56),
+        (120, 4096, 64, 56),
+    ]:
+        print(f"\nextra shapes: K_pad={K_pad} P_pad={P_pad}")
+        prob = build(K_pad, P_pad, 12, n_free)
+        for (i1, i2) in [(5, 10), (3, 5)]:
+            ba = jax.jit(lambda p, a=i1, b=i2: local_bundle_adjustment(
+                p, fx, fy, cx, cy, bf, iters_first=a, iters_second=b,
+                free_cap=free_cap))
+            timeit(f"LM BA {i1}+{i2} P={P_pad}", ba, prob)

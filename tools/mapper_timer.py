@@ -74,8 +74,9 @@ def main():
           "round trip):")
     for k, v in sorted(slam.mapper.device_ms.items()):
         v = np.asarray(v)
-        print(f"  {k:24s} {np.median(v):8.1f} ms  (p90 "
-              f"{np.percentile(v, 90):.1f}, n={v.size})")
+        print(f"  {k:24s} med {np.median(v):7.1f}  mean {v.mean():7.1f}  "
+              f"p90 {np.percentile(v, 90):7.1f}  max {v.max():7.1f}  "
+              f"(n={v.size})")
 
 
 if __name__ == "__main__":
