@@ -97,6 +97,15 @@ def main():
         tracking=TrackingConfig(async_mapping=True),
     )
     sys_ = System(cfg)
+    # join the background compile threads BEFORE the timed loop: every
+    # fixed-shape program (mapper buckets + loop-closer family + GBA) is then
+    # compiled or cache-loaded up front. In r4 the loop-closer programs
+    # compiled at the FIRST loop event ~200 frames in: 90-250 s remote
+    # compiles landed mid-sequence and the official cold-process bench
+    # collapsed to 241 ms/frame mean, ATE 0.49 m.
+    t_warm0 = time.perf_counter()
+    sys_.wait_prewarm()
+    prewarm_s = time.perf_counter() - t_warm0
     est = {}
 
     def note(fid, T):
@@ -126,6 +135,9 @@ def main():
     for fid, T in sys_.flush_pipeline():
         note(fid, T)
     n_kf = sys_.store.n_keyframes
+    mw = sys_._map_worker
+    ba_runs = mw.n_ba_runs if mw is not None else 0
+    ba_merged = mw.n_ba_merged if mw is not None else 0
     sys_.shutdown()
     common = sorted(est)
     ate = float(ate_rmse(np.stack([est[i] for i in common]), gt[common]))
@@ -146,6 +158,9 @@ def main():
         "n_keyframes": int(n_kf),
         "n_stream_fallbacks": int(getattr(sys_, "n_stream_fallbacks", 0)),
         "ate_m": round(ate, 4),
+        "n_ba_runs": int(ba_runs),
+        "n_ba_merged": int(ba_merged),
+        "prewarm_s": round(prewarm_s, 1),
         "scene": "rendered 6-DoF room tour (real textures), 300 frames",
     }))
     if os.environ.get("BENCH_TRACE"):
@@ -154,6 +169,14 @@ def main():
                        "mapper_device_ms": {
                            k: [round(x, 1) for x in v]
                            for k, v in sys_.mapper.device_ms.items()}}, f)
+    # accuracy self-check (VERDICT r4 #3): a latency number from a diverged
+    # trajectory is meaningless — fail the bench outright so the driver can
+    # never record a collapsed run as rc=0 (r4: ATE 0.486 m went in as green)
+    ATE_LIMIT = 0.20  # 2x the rendered-gate bound (tests/test_rendered_ate.py)
+    if not np.isfinite(ate) or ate > ATE_LIMIT:
+        print(f"BENCH FAILED: ate_m={ate:.4f} exceeds {ATE_LIMIT}",
+              file=sys.stderr)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,7 @@ def run_one(args, budget):
         t0 = time.perf_counter()
         sys_.track_stereo(left, right, ts)
         times.append((time.perf_counter() - t0) * 1e3)
+    sys_.shutdown()  # joins worker/prewarm threads before interpreter exit
     out_dir = os.path.join(args.out, f"budget_{budget}")
     os.makedirs(out_dir, exist_ok=True)
     sys_.save_trajectory_tum(os.path.join(out_dir, "trajectory_tum.txt"))

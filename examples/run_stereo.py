@@ -75,6 +75,7 @@ def main():
                   f"med={np.median(times[10:] or times):.1f}ms", flush=True)
     if args.pipelined:
         sys_.flush_pipeline()
+    sys_.shutdown()  # joins worker/prewarm threads before interpreter exit
 
     sys_.save_trajectory_tum(os.path.join(args.out, "trajectory_tum.txt"))
     sys_.save_keyframe_trajectory_tum(os.path.join(args.out, "kf_trajectory_tum.txt"))

@@ -105,6 +105,7 @@ class MultiIndexHashing:
 
     def query(self, desc: np.ndarray, max_out: Optional[int] = None) -> np.ndarray:
         """Candidate map-point ids for frame descriptors [N,8]."""
+        self.n_queries = getattr(self, "n_queries", 0) + 1
         desc = np.ascontiguousarray(desc, np.uint32)
         max_out = max_out or self.candidate_budget
         out = np.empty(max_out, np.int32)

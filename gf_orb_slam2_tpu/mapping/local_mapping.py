@@ -86,8 +86,7 @@ class LocalMapper:
         with lk:
             self._refresh_point_stats(kf)
             st.n_culled_points = self.cull_recent_points(kf)
-        st.n_new_points = self.create_new_points(kf)
-        st.n_fused = self.fuse_neighbors(kf)
+        st.n_new_points, st.n_fused = self.create_and_fuse(kf)
         if not skip_ba:
             self.run_local_ba(kf, st)
         with lk:
@@ -234,6 +233,30 @@ class LocalMapper:
 
         return jax.vmap(pair)(kns, free_n)
 
+    def _tri_prepare(self, kf: int):
+        """Host inputs for the batched triangulation program (under lock)."""
+        s = self.store
+        with s.lock:
+            neighbors = [int(k) for k in s.covisible_kfs(kf, self.TRI_BATCH)]
+            if self.cfg.sensor != Sensor.MONOCULAR:
+                # baseline check (reference: LocalMapping.cc:410)
+                neighbors = [
+                    kn for kn in neighbors
+                    if np.linalg.norm(s.kf_center(kf) - s.kf_center(kn))
+                    >= self.cfg.camera.baseline
+                ]
+            free_k = (s.kf_point[kf] < 0) & s.kf_kp_valid[kf]
+            if not neighbors or free_k.sum() == 0:
+                return None
+            B = self.TRI_BATCH
+            kns = (neighbors + [kf] * B)[:B]  # pad w/ self-pairs (masked)
+            pair_mask = np.asarray([kn != kf for kn in kns])
+            free_n = np.stack(
+                [(s.kf_point[kn] < 0) & s.kf_kp_valid[kn] & (kn != kf)
+                 for kn in kns]
+            )
+        return kns, pair_mask, free_k, free_n
+
     def create_new_points(self, kf: int) -> int:
         """Triangulate new points between kf and its best covisible KFs.
 
@@ -247,25 +270,10 @@ class LocalMapper:
         _ta = _time.perf_counter()
         s = self.store
         self._ensure_mirrors()
-        with s.lock:
-            neighbors = [int(k) for k in s.covisible_kfs(kf, self.TRI_BATCH)]
-            if self.cfg.sensor != Sensor.MONOCULAR:
-                # baseline check (reference: LocalMapping.cc:410)
-                neighbors = [
-                    kn for kn in neighbors
-                    if np.linalg.norm(s.kf_center(kf) - s.kf_center(kn))
-                    >= self.cfg.camera.baseline
-                ]
-            free_k = (s.kf_point[kf] < 0) & s.kf_kp_valid[kf]
-            if not neighbors or free_k.sum() == 0:
-                return 0
-            B = self.TRI_BATCH
-            kns = (neighbors + [kf] * B)[:B]  # pad w/ self-pairs (masked)
-            pair_mask = np.asarray([kn != kf for kn in kns])
-            free_n = np.stack(
-                [(s.kf_point[kn] < 0) & s.kf_kp_valid[kn] & (kn != kf)
-                 for kn in kns]
-            )
+        prep = self._tri_prepare(kf)
+        if prep is None:
+            return 0
+        kns, pair_mask, free_k, free_n = prep
         dev_in = jax.device_put(
             (np.int32(kf), np.asarray(kns, np.int32), free_k, free_n))
         if not hasattr(self, "_jit_triangulate_batch"):
@@ -276,9 +284,20 @@ class LocalMapper:
             self._jit_triangulate_batch(*dev_in, s.kf_mirror.arrays))
         _tw = _time.perf_counter()
         self.device_ms["triangulate"].append((_tw - _t0) * 1e3)
+        created = self._tri_writeback(kf, kns, pair_mask, Xw_b, idx2_b, ok_b)
+        self.device_ms["tri_writeback_host"].append(
+            (_time.perf_counter() - _tw) * 1e3)
+        return created
+
+    def _tri_writeback(self, kf, kns, pair_mask, Xw_b, idx2_b, ok_b,
+                       v0=None) -> int:
+        s = self.store
+        B = self.TRI_BATCH
         created = 0
         new_ids: List[int] = []
         with s.lock:
+            if v0 is not None and s.big_change_idx != v0:
+                return 0  # world moved mid-solve (loop correction): discard
             for b in range(B):
                 if not pair_mask[b]:
                     continue
@@ -308,8 +327,6 @@ class LocalMapper:
 
                 refresh_points_batch(s, np.asarray(new_ids), self.level_scales)
                 s.update_connections(kf)
-        self.device_ms["tri_writeback_host"].append(
-            (_time.perf_counter() - _tw) * 1e3)
         return created
 
     # ------------------------------------------------------------- fusion
@@ -354,20 +371,14 @@ class LocalMapper:
 
         return jax.vmap(one)(dsts, src_ids)
 
-    def fuse_neighbors(self, kf: int) -> int:
-        """Reference: SearchInNeighbors (LocalMapping.cc:634) — project kf's
-        points into neighbors and vice versa; merge duplicates. All pairs run
-        as one vmapped device program; the upload is point IDS + KF indices
-        (data gathered from the device mirrors)."""
-        import time as _time
-        _ta = _time.perf_counter()
+    def _fuse_prepare(self, kf: int):
+        """Host inputs for the batched fuse program (under lock)."""
         s = self.store
-        self._ensure_mirrors()
         with s.lock:
             neighbors = [int(k)
                          for k in s.covisible_kfs(kf, self.FUSE_BATCH // 2)]
             if not neighbors:
-                return 0
+                return None
             pairs = ([(kf, kn) for kn in neighbors]
                      + [(kn, kf) for kn in neighbors])
             B = self.FUSE_BATCH
@@ -387,6 +398,21 @@ class LocalMapper:
             if n_pairs < B:  # pad with masked dummies against kf itself
                 dst_list += [kf] * (B - n_pairs)
             dsts = np.asarray(dst_list, np.int32)
+        return dsts, src_ids, pts_list, dst_list, n_pairs
+
+    def fuse_neighbors(self, kf: int) -> int:
+        """Reference: SearchInNeighbors (LocalMapping.cc:634) — project kf's
+        points into neighbors and vice versa; merge duplicates. All pairs run
+        as one vmapped device program; the upload is point IDS + KF indices
+        (data gathered from the device mirrors)."""
+        import time as _time
+        _ta = _time.perf_counter()
+        s = self.store
+        self._ensure_mirrors()
+        prep = self._fuse_prepare(kf)
+        if prep is None:
+            return 0
+        dsts, src_ids, pts_list, dst_list, n_pairs = prep
         dev_in = jax.device_put((dsts, src_ids))
         if not hasattr(self, "_jit_fuse_batch"):
             self._jit_fuse_batch = jax.jit(self._fuse_mirror_impl)
@@ -396,8 +422,19 @@ class LocalMapper:
             *dev_in, s.kf_mirror.arrays, s.mirror.arrays))
         _tw = _time.perf_counter()
         self.device_ms["fuse"].append((_tw - _t0) * 1e3)
+        fused = self._fuse_writeback(kf, pts_list, dst_list, n_pairs,
+                                     src_ids, idx_b, ok_b)
+        self.device_ms["fuse_writeback_host"].append(
+            (_time.perf_counter() - _tw) * 1e3)
+        return fused
+
+    def _fuse_writeback(self, kf, pts_list, dst_list, n_pairs, src_ids,
+                        idx_b, ok_b, v0=None) -> int:
+        s = self.store
         fused = 0
         with s.lock:
+            if v0 is not None and s.big_change_idx != v0:
+                return 0  # world moved mid-solve (loop correction): discard
             for bi in range(n_pairs):
                 pts = pts_list[bi]
                 dst = dst_list[bi]
@@ -418,6 +455,90 @@ class LocalMapper:
                     else:
                         s.add_observation(p, dst, j)
             s.update_connections(kf)
+        return fused
+
+    # ------------------------------------------- combined triangulate+fuse
+    def _tri_fuse_impl(self, kf_id, kns, free_k, free_n, dsts, src_ids,
+                       kfm, ptm):
+        tri = self._triangulate_mirror_impl(kf_id, kns, free_k, free_n, kfm)
+        fuse = self._fuse_mirror_impl(dsts, src_ids, kfm, ptm)
+        return tri, fuse
+
+    def create_and_fuse(self, kf: int):
+        """Triangulation + neighbor fusion as ONE device program / ONE
+        blocking round trip / ONE mirror sync (on the remote-attached TPU
+        each extra blocking sync costs ~30 ms and the r4 per-KF budget was
+        ~1.4-1.75 s across 5-6 syncs). The fusion pass covers the map as of
+        this KF's insertion; points triangulated in this same call are fused
+        at the NEXT KF event (the reference fuses them immediately —
+        LocalMapping.cc:634 — but a one-KF fusion delay only postpones
+        duplicate merging, it never loses it). Returns (created, fused)."""
+        import time as _time
+        _ta = _time.perf_counter()
+        s = self.store
+        self._ensure_mirrors()
+        with s.lock:
+            v0 = s.big_change_idx
+        tri_prep = self._tri_prepare(kf)
+        fuse_prep = self._fuse_prepare(kf)
+        if tri_prep is None and fuse_prep is None:
+            return 0, 0
+        if tri_prep is None:
+            return 0, self._fuse_finish(kf, fuse_prep, _ta)
+        if fuse_prep is None:
+            kns, pair_mask, free_k, free_n = tri_prep
+            dev_in = jax.device_put(
+                (np.int32(kf), np.asarray(kns, np.int32), free_k, free_n))
+            if not hasattr(self, "_jit_triangulate_batch"):
+                self._jit_triangulate_batch = jax.jit(
+                    self._triangulate_mirror_impl)
+            _t0 = _time.perf_counter()
+            self.device_ms["tri_pre_host"].append((_t0 - _ta) * 1e3)
+            Xw_b, idx2_b, ok_b = jax.device_get(
+                self._jit_triangulate_batch(*dev_in, s.kf_mirror.arrays))
+            _tw = _time.perf_counter()
+            self.device_ms["triangulate"].append((_tw - _t0) * 1e3)
+            created = self._tri_writeback(kf, kns, pair_mask, Xw_b, idx2_b,
+                                          ok_b, v0=v0)
+            self.device_ms["tri_writeback_host"].append(
+                (_time.perf_counter() - _tw) * 1e3)
+            return created, 0
+        kns, pair_mask, free_k, free_n = tri_prep
+        dsts, src_ids, pts_list, dst_list, n_pairs = fuse_prep
+        dev_in = jax.device_put(
+            (np.int32(kf), np.asarray(kns, np.int32), free_k, free_n,
+             dsts, src_ids))
+        if not hasattr(self, "_jit_tri_fuse"):
+            self._jit_tri_fuse = jax.jit(self._tri_fuse_impl)
+        _t0 = _time.perf_counter()
+        self.device_ms["tri_pre_host"].append((_t0 - _ta) * 1e3)
+        (Xw_b, idx2_b, ok_b), (fidx_b, fok_b) = jax.device_get(
+            self._jit_tri_fuse(*dev_in, s.kf_mirror.arrays, s.mirror.arrays))
+        _tw = _time.perf_counter()
+        self.device_ms["triangulate"].append((_tw - _t0) * 1e3)
+        created = self._tri_writeback(kf, kns, pair_mask, Xw_b, idx2_b, ok_b,
+                                      v0=v0)
+        fused = self._fuse_writeback(kf, pts_list, dst_list, n_pairs,
+                                     src_ids, fidx_b, fok_b, v0=v0)
+        self.device_ms["tri_writeback_host"].append(
+            (_time.perf_counter() - _tw) * 1e3)
+        return created, fused
+
+    def _fuse_finish(self, kf, fuse_prep, _ta):
+        import time as _time
+        s = self.store
+        dsts, src_ids, pts_list, dst_list, n_pairs = fuse_prep
+        dev_in = jax.device_put((dsts, src_ids))
+        if not hasattr(self, "_jit_fuse_batch"):
+            self._jit_fuse_batch = jax.jit(self._fuse_mirror_impl)
+        _t0 = _time.perf_counter()
+        self.device_ms["fuse_pre_host"].append((_t0 - _ta) * 1e3)
+        idx_b, ok_b = jax.device_get(self._jit_fuse_batch(
+            *dev_in, s.kf_mirror.arrays, s.mirror.arrays))
+        _tw = _time.perf_counter()
+        self.device_ms["fuse"].append((_tw - _t0) * 1e3)
+        fused = self._fuse_writeback(kf, pts_list, dst_list, n_pairs,
+                                     src_ids, idx_b, ok_b)
         self.device_ms["fuse_writeback_host"].append(
             (_time.perf_counter() - _tw) * 1e3)
         return fused
@@ -439,6 +560,12 @@ class LocalMapper:
         # RELEASED while the device solves (the blocking device_get below),
         # so async-mode tracking keeps its store access during the solve
         s.lock.acquire()
+        # world version at assembly: a loop correction while the solve is in
+        # flight moves the whole map — writing this solve back afterwards
+        # would clobber corrected poses with pre-correction ones (the
+        # reference aborts the BA instead: LocalMapping mbAbortBA,
+        # LoopClosing.cc:437)
+        v0 = s.big_change_idx
         # reference pool parity: up to 60 covisible KFs (Optimizer.h:45)
         K_CAP = min(max(self.cfg.good_graph.max_pool, 8), 60)
         O_CAP = 12
@@ -565,6 +692,8 @@ class LocalMapper:
         _tw = _time.perf_counter()
         # ---- write back (one batched transfer)
         with s.lock:
+            if s.big_change_idx != v0:
+                return  # superseded by a loop correction mid-solve
             kf_R = np.asarray(res.kf_R)[:K]
             kf_t = np.asarray(res.kf_t)[:K]
             for i, k in enumerate(kfs):
@@ -706,6 +835,17 @@ class LocalMapper:
             ptm = {k: spec(v.shape, v.dtype)
                    for k, v in s.mirror.arrays.items()}
             B, N = self.TRI_BATCH, self.n_kp
+            FB = self.FUSE_BATCH
+            # the combined triangulate+fuse program is what process_keyframe
+            # actually runs; the standalone variants cover the degenerate
+            # first-KF events (no neighbors yet → tri-only / fuse-only)
+            if not hasattr(self, "_jit_tri_fuse"):
+                self._jit_tri_fuse = jax.jit(self._tri_fuse_impl)
+            self._jit_tri_fuse.lower(
+                spec((), jnp.int32), spec((B,), jnp.int32),
+                spec((N,), jnp.bool_), spec((B, N), jnp.bool_),
+                spec((FB,), jnp.int32), spec((FB, N), jnp.int32), kfm, ptm,
+            ).compile()
             if not hasattr(self, "_jit_triangulate_batch"):
                 self._jit_triangulate_batch = jax.jit(
                     self._triangulate_mirror_impl)
@@ -713,7 +853,6 @@ class LocalMapper:
                 spec((), jnp.int32), spec((B,), jnp.int32),
                 spec((N,), jnp.bool_), spec((B, N), jnp.bool_), kfm,
             ).compile()
-            FB = self.FUSE_BATCH
             if not hasattr(self, "_jit_fuse_batch"):
                 self._jit_fuse_batch = jax.jit(self._fuse_mirror_impl)
             self._jit_fuse_batch.lower(

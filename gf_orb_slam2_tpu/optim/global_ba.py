@@ -31,6 +31,46 @@ from gf_orb_slam2_tpu.slammap.store import MapStore
 import jax
 import jax.numpy as jnp
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _segment_jit(fx, fy, cx, cy, bf, first, second):
+    """Jitted GBA segment (cached per camera + iteration split; jax.jit's
+    own cache keys the problem shapes). Running segments eagerly paid
+    hundreds of ms-scale relay dispatches per LM iteration in the detached
+    GBA thread (r4)."""
+
+    def run(prob):
+        return local_bundle_adjustment(prob, fx, fy, cx, cy, bf,
+                                       iters_first=first, iters_second=second)
+
+    return jax.jit(run)
+
+
+def prewarm_gba(cfg, window_kfs: int = 96, obs_cap: int = 12,
+                p_pads=(8192, 16384), segment_iters: int = 5):
+    """AOT-compile the GBA segment programs for the bench-typical window
+    shapes so the first post-loop global BA doesn't compile mid-run. Shapes
+    not covered here still compile lazily in the detached GBA thread (which
+    never blocks tracking)."""
+    cam = cfg.camera
+    spec = jax.ShapeDtypeStruct
+    f32, i32, b8 = jnp.float32, jnp.int32, jnp.bool_
+    K, O = window_kfs, obs_cap
+    for P in p_pads:
+        prob = LocalBAProblem(
+            kf_R=spec((K, 3, 3), f32), kf_t=spec((K, 3), f32),
+            kf_fixed=spec((K,), b8), kf_valid=spec((K,), b8),
+            pt_pos=spec((P, 3), f32), pt_valid=spec((P,), b8),
+            obs_kf=spec((P, O), i32), obs_uv=spec((P, O, 2), f32),
+            obs_ur=spec((P, O), f32), obs_inv_sigma2=spec((P, O), f32),
+            obs_valid=spec((P, O), b8),
+        )
+        for first, second in ((segment_iters, 0), (0, segment_iters)):
+            _segment_jit(cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                         first, second).lower(prob).compile()
+
 
 class GlobalBARunner:
     def __init__(self, store: MapStore, cfg, iters: int = 20,
@@ -54,6 +94,10 @@ class GlobalBARunner:
         overlapping dense windows."""
         s = self.store
         with s.lock:
+            # world version at snapshot: if a NEW loop correction lands while
+            # this GBA solves, write_back must not clobber it (the normal
+            # path aborts the GBA first — this guards the abort race)
+            self._build_version = s.big_change_idx
             kfs_all = s.valid_kf_ids()
             if kfs_all.size < 2:
                 return False
@@ -168,10 +212,8 @@ class GlobalBARunner:
                     return False
                 first = self.segment_iters if seg == 0 else 0
                 second = 0 if seg == 0 else self.segment_iters
-                res = local_bundle_adjustment(
-                    prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
-                    iters_first=first, iters_second=second,
-                )
+                res = _segment_jit(cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+                                   first, second)(prob)
                 prob = prob._replace(kf_R=res.kf_R, kf_t=res.kf_t,
                                      pt_pos=res.pt_pos)
             R_np = np.asarray(res.kf_R)
@@ -185,12 +227,18 @@ class GlobalBARunner:
         return True
 
     # ------------------------------------------------------------- write back
-    def write_back(self):
+    def write_back(self, post_cb=None):
         """Apply results under the store lock; keyframes/points created during
         the solve are propagated via spanning tree / reference-KF re-anchoring
-        (reference: LoopClosing.cc:720-780)."""
+        (reference: LoopClosing.cc:720-780). `post_cb(before_R, before_t)` is
+        invoked at the end, lock still held — System uses it to rebase live
+        tracking onto the moved world frame."""
         s = self.store
         with s.lock:
+            if getattr(self, "_build_version", None) is not None and \
+                    s.big_change_idx != self._build_version:
+                self.aborted = True
+                return  # superseded by a loop correction during the solve
             kfs_now = s.valid_kf_ids()
             # pre-correction snapshot of CURRENT poses (reference: mTcwBefGBA,
             # LoopClosing.cc:720-780). Relative child→parent transforms must
@@ -252,6 +300,8 @@ class GlobalBARunner:
                 s.mark_dirty(p_list)
                 moved[p_list] = True
             s.big_change_idx += 1
+            if post_cb is not None:
+                post_cb(before_R, before_t)
 
 
 def global_bundle_adjustment(store: MapStore, cfg, iters: int = 20,

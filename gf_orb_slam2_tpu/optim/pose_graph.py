@@ -60,14 +60,8 @@ def _edge_residual_delta(delta, si, Ri, ti, sj, Rj, tj, sm, Rm, tm):
 _JIT_CACHE = {}
 
 
-def optimize_pose_graph(
-    prob: PoseGraphProblem, iters: int = 15, damping: float = 1e-6,
-):
-    """Jitted entry (cached per shape): running the 15-iteration GN scan
-    eagerly paid a fresh remote compile per (K,E) shape at every loop event
-    — callers bucket K/E so steady state reuses one compiled program."""
-    fs = bool(prob.fix_scale)
-    key = (prob.s.shape[0], prob.e_i.shape[0], fs, iters, float(damping))
+def _get_jit(K: int, E: int, fs: bool, iters: int, damping: float):
+    key = (K, E, fs, iters, float(damping))
     fn = _JIT_CACHE.get(key)
     if fn is None:
         def run(s, R, t, fixed, valid, e_i, e_j, e_s, e_R, e_t, e_w):
@@ -76,8 +70,36 @@ def optimize_pose_graph(
             return _optimize_pose_graph_impl(p, iters, damping)
 
         fn = _JIT_CACHE[key] = jax.jit(run)
+    return fn
+
+
+def optimize_pose_graph(
+    prob: PoseGraphProblem, iters: int = 15, damping: float = 1e-6,
+):
+    """Jitted entry (cached per shape): running the 15-iteration GN scan
+    eagerly paid a fresh remote compile per (K,E) shape at every loop event
+    — callers bucket K/E so steady state reuses one compiled program."""
+    fn = _get_jit(prob.s.shape[0], prob.e_i.shape[0], bool(prob.fix_scale),
+                  iters, damping)
     return fn(prob.s, prob.R, prob.t, prob.fixed, prob.valid, prob.e_i,
               prob.e_j, prob.e_s, prob.e_R, prob.e_t, prob.e_w)
+
+
+def prewarm_pose_graph(shapes, fix_scale: bool, iters: int = 15,
+                       damping: float = 1e-6):
+    """AOT-compile (or cache-load) the bucketed pose-graph programs so the
+    FIRST loop event never pays a mid-sequence remote compile (the r4 bench
+    collapse: the loop-closer jits were the only family with no prewarm —
+    90-250 s compiles landed mid-run). `shapes` = [(K_pad, E_pad), ...]."""
+    spec = jax.ShapeDtypeStruct
+    f32, i32, b8 = jnp.float32, jnp.int32, jnp.bool_
+    for K, E in shapes:
+        _get_jit(K, E, bool(fix_scale), iters, damping).lower(
+            spec((K,), f32), spec((K, 3, 3), f32), spec((K, 3), f32),
+            spec((K,), b8), spec((K,), b8),
+            spec((E,), i32), spec((E,), i32), spec((E,), f32),
+            spec((E, 3, 3), f32), spec((E, 3), f32), spec((E,), f32),
+        ).compile()
 
 
 def _optimize_pose_graph_impl(

@@ -42,6 +42,9 @@ def _cpu_backend() -> bool:
     return jax.default_backend() == "cpu"
 
 
+_PREWARM_THREADS = []
+
+
 def _prewarm_async(fn):
     """Run compile-prewarming on a daemon thread: remote compiles/cache
     loads take 0.5-10 s each and must not stall construction or, worse,
@@ -50,7 +53,7 @@ def _prewarm_async(fn):
     import threading
 
     if os.environ.get("GF_SLAM_NO_PREWARM"):
-        return
+        return None
 
     def safe():
         try:
@@ -60,17 +63,39 @@ def _prewarm_async(fn):
 
             logging.getLogger(__name__).exception("mirror prewarm failed")
 
-    threading.Thread(target=safe, daemon=True).start()
+    t = threading.Thread(target=safe, daemon=True)
+    t.start()
+    _PREWARM_THREADS.append(t)
+    return t
+
+
+def wait_prewarm(timeout=None):
+    """Block until all background compile-prewarm threads finish. Benchmarks
+    call this between System construction and the timed loop so compiles
+    count as startup (like the reference's vocabulary load), never as
+    mid-sequence stalls."""
+    for t in list(_PREWARM_THREADS):
+        t.join(timeout)
 
 
 class DeviceMapMirror:
     FIELDS = ("pos", "normal", "mind", "maxd", "desc")
 
     def __init__(self, store):
+        import threading
+
         self.store = store
         P = store.cap.max_map_points
         self.P = P
         self.dirty = np.zeros(P, bool)
+        # serializes whole sync() calls: the pipelined tracker (per frame)
+        # and the async mapping worker (per KF event) sync concurrently, and
+        # two interleaved read-clear-scatter sequences each chain
+        # `self.arrays = update(self.arrays, delta)` from the SAME snapshot —
+        # the later assignment silently DROPS the earlier delta while its
+        # dirty bits are already cleared (observed: r4/r5 async TPU bench ATE
+        # 0.49/0.52 vs 0.025 sync; CPU full-refresh path can't lose updates)
+        self._sync_lock = threading.Lock()
         with store.lock:
             self.arrays = jax.device_put(dict(
                 pos=store.point_pos.copy(), normal=store.point_normal.copy(),
@@ -144,43 +169,45 @@ class DeviceMapMirror:
         if not self.dirty.any():
             return
         s = self.store
-        with s.lock:
-            ids = np.nonzero(self.dirty)[0]
-            if ids.size == 0:
-                return
-            self.dirty[ids] = False
-            if _cpu_backend():  # see _cpu_backend: scatters are emulated
-                self.arrays = jax.device_put(dict(
-                    pos=s.point_pos.copy(), normal=s.point_normal.copy(),
-                    mind=s.point_min_dist.copy(),
-                    maxd=s.point_max_dist.copy(), desc=s.point_desc.copy(),
+        with self._sync_lock:
+            with s.lock:
+                ids = np.nonzero(self.dirty)[0]
+                if ids.size == 0:
+                    return
+                self.dirty[ids] = False
+                if _cpu_backend():  # see _cpu_backend: scatters are emulated
+                    self.arrays = jax.device_put(dict(
+                        pos=s.point_pos.copy(), normal=s.point_normal.copy(),
+                        mind=s.point_min_dist.copy(),
+                        maxd=s.point_max_dist.copy(),
+                        desc=s.point_desc.copy(),
+                    ))
+                    return
+                host = dict(
+                    ids=ids,
+                    pos=s.point_pos[ids], normal=s.point_normal[ids],
+                    mind=s.point_min_dist[ids], maxd=s.point_max_dist[ids],
+                    desc=s.point_desc[ids],
+                )
+            big = _BUCKETS[-1]
+            for lo in range(0, ids.size, big):
+                hi = min(lo + big, ids.size)
+                D = self._bucket(hi - lo)
+                self._ensure_jit(D)
+                lay = self._layouts[D]
+
+                def padf(a, fill=0):
+                    out = np.full((D,) + a.shape[1:], fill, a.dtype)
+                    out[: hi - lo] = a[lo:hi]
+                    return out
+
+                buf = lay.pack_np(dict(
+                    ids=padf(host["ids"].astype(np.int32), -1),
+                    pos=padf(host["pos"]), normal=padf(host["normal"]),
+                    mind=padf(host["mind"]), maxd=padf(host["maxd"]),
+                    desc=padf(host["desc"]),
                 ))
-                return
-            host = dict(
-                ids=ids,
-                pos=s.point_pos[ids], normal=s.point_normal[ids],
-                mind=s.point_min_dist[ids], maxd=s.point_max_dist[ids],
-                desc=s.point_desc[ids],
-            )
-        big = _BUCKETS[-1]
-        for lo in range(0, ids.size, big):
-            hi = min(lo + big, ids.size)
-            D = self._bucket(hi - lo)
-            self._ensure_jit(D)
-            lay = self._layouts[D]
-
-            def padf(a, fill=0):
-                out = np.full((D,) + a.shape[1:], fill, a.dtype)
-                out[: hi - lo] = a[lo:hi]
-                return out
-
-            buf = lay.pack_np(dict(
-                ids=padf(host["ids"].astype(np.int32), -1),
-                pos=padf(host["pos"]), normal=padf(host["normal"]),
-                mind=padf(host["mind"]), maxd=padf(host["maxd"]),
-                desc=padf(host["desc"]),
-            ))
-            self.arrays = self._jits[D](self.arrays, jax.device_put(buf))
+                self.arrays = self._jits[D](self.arrays, jax.device_put(buf))
 
 
 # keyframe-row delta buckets (rows per sync) — two sizes, prewarmed (see
@@ -202,11 +229,14 @@ class DeviceKFMirror:
     FIELDS = ("R", "t", "uv", "oct", "desc", "ur", "kpv")
 
     def __init__(self, store):
+        import threading
+
         self.store = store
         K, N = store.cap.max_keyframes, store.n_kp
         self.K, self.N = K, N
         self.dirty_row = np.zeros(K, bool)
         self.dirty_pose = np.zeros(K, bool)
+        self._sync_lock = threading.Lock()  # see DeviceMapMirror._sync_lock
         with store.lock:
             self.arrays = jax.device_put(dict(
                 R=store.kf_R.copy(), t=store.kf_t.copy(),
@@ -250,7 +280,7 @@ class DeviceKFMirror:
 
     def sync(self):
         s = self.store
-        with s.lock:
+        with self._sync_lock, s.lock:
             rows = np.nonzero(self.dirty_row)[0]
             poses = np.nonzero(self.dirty_pose & ~self.dirty_row)[0]
             self.dirty_row[:] = False

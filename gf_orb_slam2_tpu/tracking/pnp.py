@@ -21,8 +21,14 @@ import jax.numpy as jnp
 
 from gf_orb_slam2_tpu.utils.precision import einsum, matmul
 
-_PAIR_I = jnp.asarray([0, 0, 0, 1, 1, 2])
-_PAIR_J = jnp.asarray([1, 2, 3, 2, 3, 3])
+# numpy, NOT jnp: this module is imported lazily, sometimes INSIDE a jit
+# trace (tracker._reloc_step_impl) — a module-level jnp constant created
+# under tracing is a DynamicJaxprTracer that outlives the trace and poisons
+# every later call (UnexpectedTracerError on the first real relocalization)
+import numpy as _np
+
+_PAIR_I = _np.asarray([0, 0, 0, 1, 1, 2])
+_PAIR_J = _np.asarray([1, 2, 3, 2, 3, 3])
 
 
 class PnPResult(NamedTuple):

@@ -152,6 +152,11 @@ class Tracker:
         self._jit_stream = jax.jit(self._stream_step_impl)
         self._chain = None  # device-resident chained tracking state
         self._cached_pool = None  # (ids, device loc arrays) for the fused path
+        # rigid world-frame rebase pending from a loop correction / GBA
+        # write-back (X_new = R_D X_old + t_D); applied to the tracking state
+        # (last pose, device chain) before the next dispatch
+        self.pending_map_rebase = None
+        self._rebase_jit = None
         self._last_reloc_frame = -10**9
         self.kfdb = None  # set by System once place recognition is up
         self.mih = None   # set by System when hashing is enabled
@@ -520,6 +525,62 @@ class Tracker:
                 jnp.asarray(frame.desc), jnp.asarray(frame.angle),
             )
         return frame._dev
+
+    # ------------------------------------------------- map-rebase protocol
+    def notify_map_rebase(self, R_D, t_D):
+        """Record that the map region around the tracker was rigidly moved:
+        X_new = R_D·X_old + t_D (callers: loop correction, GBA write-back —
+        both hold store.lock). Without this, a correction mid-stream leaves
+        the tracker's last pose / device chain in the OLD world frame while
+        the mirrored map points move: projections land outside the search
+        radius and tracking silently degrades (reference analogue: after
+        CorrectLoop the tracker recovers via TrackReferenceKeyFrame against
+        the corrected ref KF pose; the streaming chain has no such fallback
+        so the state is rebased explicitly)."""
+        R_D = np.asarray(R_D, np.float32)
+        t_D = np.asarray(t_D, np.float32)
+        if self.pending_map_rebase is None:
+            self.pending_map_rebase = (R_D.copy(), t_D.copy())
+        else:
+            R0, t0 = self.pending_map_rebase
+            self.pending_map_rebase = (R_D @ R0, R_D @ t0 + t_D)
+
+    def apply_pending_rebase(self):
+        """Apply a pending rigid map rebase to the tracking state: last-frame
+        pose (T ← T∘D⁻¹) and, in streaming mode, the device chain's poses and
+        cached point positions."""
+        pend = self.pending_map_rebase
+        if pend is None:
+            return
+        self.pending_map_rebase = None
+        R_D, t_D = pend
+        lf = self.last_frame
+        if lf is not None and lf.R is not None:
+            R_new = (lf.R @ R_D.T).astype(np.float32)
+            lf.t = (lf.t - R_new @ t_D).astype(np.float32)
+            lf.R = R_new
+        if self._chain is not None:
+            if self._rebase_jit is None:
+                def reb(chain, Rd, td):
+                    out = dict(chain)
+                    for k in ("1", "2"):
+                        Rn = chain["R" + k] @ Rd.T
+                        out["R" + k] = Rn
+                        out["t" + k] = chain["t" + k] - Rn @ td
+                    out["pt_pos"] = chain["pt_pos"] @ Rd.T + td
+                    return out
+
+                self._rebase_jit = jax.jit(reb)
+            self._chain = self._rebase_jit(
+                self._chain, jnp.asarray(R_D), jnp.asarray(t_D))
+        # host-cached pool data carries positions/normals in the old world
+        # frame (the sync fused path uploads them verbatim): rebase in place
+        # (streaming gathers point data from the mirror by id — unaffected)
+        if self._cached_pool is not None:
+            pts, loc = self._cached_pool
+            loc = ((loc[0] @ R_D.T + t_D).astype(np.float32),
+                   (loc[1] @ R_D.T).astype(np.float32)) + loc[2:]
+            self._cached_pool = (pts, loc)
 
     def process_frame(self, frame: Frame) -> TrackStats:
         fusable = (
