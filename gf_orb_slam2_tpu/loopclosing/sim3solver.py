@@ -127,16 +127,22 @@ def solve_sim3(
         n = jnp.maximum(jnp.sum(w), 1.0)
         mu_a = jnp.sum(a * w[:, None], 0) / n
         mu_b = jnp.sum(b * w[:, None], 0) / n
+        from gf_orb_slam2_tpu.utils.precision import einsum as _es
+        from gf_orb_slam2_tpu.utils.precision import matmul as _mm
+
         ac = (a - mu_a) * w[:, None]
         bc = (b - mu_b) * w[:, None]
-        H = jnp.einsum("ni,nj->ij", ac, b - mu_b)
+        # f32-pinned contractions: TPU default bf16 corrupts the 3x3 Horn
+        # covariance / rotation recovery (same hazard class as the epipolar
+        # F in local_mapping — see utils/precision.py)
+        H = _es("ni,nj->ij", ac, b - mu_b)
         U, S, Vt = jnp.linalg.svd(H)
-        d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+        d = jnp.sign(jnp.linalg.det(_mm(Vt.T, U.T)))
         D = jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, 1.0]).at[2].set(d)
-        R = jnp.einsum("ji,j,jk->ik", Vt, D, U.T)
+        R = _es("ji,j,jk->ik", Vt, D, U.T)
         var = jnp.sum(ac * ac) / jnp.maximum(n, 1e-9)
         scale = jnp.where(fix_scale, 1.0, jnp.sum(S * D) / jnp.maximum(var * n, 1e-9))
-        t = mu_b - scale * R @ mu_a
+        t = mu_b - scale * _mm(R, mu_a[:, None])[:, 0]
         return scale, R, t
 
     s_f, R_f, t_f = weighted_horn(pc1, pc2, w)

@@ -34,6 +34,7 @@ from gf_orb_slam2_tpu.geometry import lie, triangulate
 from gf_orb_slam2_tpu.matching import matcher, hamming
 from gf_orb_slam2_tpu.optim.local_ba import LocalBAProblem, local_bundle_adjustment
 from gf_orb_slam2_tpu.slammap.store import MapStore
+from gf_orb_slam2_tpu.utils.precision import einsum
 
 
 @dataclasses.dataclass
@@ -153,17 +154,28 @@ class LocalMapper:
         Reference: SearchForTriangulation (ORBmatcher.cc:770) + the DLT and
         acceptance gates in CreateNewMapPoints (LocalMapping.cc:450-560).
         """
+        # fundamental matrix F12 = K^-T [t]x R K^-1 with relative pose 1→2.
+        # ALL matmuls here go through utils.precision (f32): with TPU default
+        # bf16 the epipolar line coefficients carry ~pixel-scale error and the
+        # 3.84·σ gate rejects every candidate pair (measured on the rendered
+        # arc: 0 triangulations on TPU vs 54 on CPU — the map starves).
+        from gf_orb_slam2_tpu.utils.precision import matmul
+
         K = jnp.asarray(self._K)
-        # fundamental matrix F12 = K^-T [t]x R K^-1 with relative pose 1→2
-        R12 = R1 @ R2.T
-        t12 = t1 - R12 @ t2
-        Kinv = jnp.linalg.inv(K)
-        E = lie.hat(t12) @ R12
-        F = Kinv.T @ E @ Kinv
+        R12 = matmul(R1, R2.T)
+        t12 = t1 - matmul(R12, t2[..., None])[..., 0]
+        # closed-form inverse of the upper-triangular K (LAPACK inv is a slow
+        # odd-shape kernel on TPU and another bf16 hazard)
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        Kinv = jnp.asarray([[1.0 / fx, 0.0, -cx / fx],
+                            [0.0, 1.0 / fy, -cy / fy],
+                            [0.0, 0.0, 1.0]], K.dtype)
+        E = matmul(lie.hat(t12), R12)
+        F = matmul(matmul(Kinv.T, E), Kinv)
         # epipolar distance of kp2 to line of kp1: l2 = F^T? (x1' F x2 = 0)
         ones1 = jnp.concatenate([uv1, jnp.ones_like(uv1[:, :1])], -1)
         ones2 = jnp.concatenate([uv2, jnp.ones_like(uv2[:, :1])], -1)
-        l2 = ones1 @ F  # [N1,3] line in image 2
+        l2 = einsum("ni,ij->nj", ones1, F)  # [N1,3] line in image 2
         num = jnp.abs(jnp.sum(l2[:, None, :] * ones2[None, :, :], -1))
         den = jnp.sqrt(l2[:, None, 0] ** 2 + l2[:, None, 1] ** 2 + 1e-12)
         epi_d = num / den  # [N1,N2]
@@ -640,6 +652,9 @@ class LocalMapper:
             pad_to(obs_valid, P_pad),
         )
         dev_up = jax.device_put(upload)
+        import os as _os
+        if _os.environ.get("GF_BA_DEBUG"):  # tools-only: stash assembly inputs
+            self._last_ba_upload = upload
         cam = self.cfg.camera
         gg = self.cfg.good_graph
         use_gg = gg.enabled and len(window) > gg.kf_thres

@@ -37,7 +37,8 @@ def _point_axes(mesh: Mesh):
     return tuple(mesh.axis_names)
 
 
-def build_distributed_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4):
+def build_distributed_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4,
+                              ablate_collectives: bool = False):
     """Returns a jitted function performing `iters` LM iterations of
     point-sharded BA. Point-major arrays must be sharded over the mesh
     (leading dim divisible by mesh size); KF arrays are replicated. Works on
@@ -46,6 +47,10 @@ def build_distributed_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4):
     axes = _point_axes(mesh)
     point_spec = P(axes if len(axes) > 1 else axes[0])
     rep = P()
+    # ablation harness (SCALING.md): identical per-device compute with the
+    # cross-device reductions REMOVED — separates collective cost from host
+    # oversubscription on the virtual CPU mesh. Numerically wrong; timing-only.
+    psum = (lambda x, a: x) if ablate_collectives else jax.lax.psum
 
     def shard_body(kf_R, kf_t, kf_fixed, kf_valid,
                    pt_pos, pt_valid, obs_kf, obs_uv, obs_ur, obs_inv2, obs_valid,
@@ -90,10 +95,10 @@ def build_distributed_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4):
         bs_corr_loc = einsum("pkac,pc->ka", T1V, bl)
 
         # ---- THE collective: reduce the camera system over the mesh (ICI)
-        Hpp = jax.lax.psum(Hpp_loc, axes)
-        bp = jax.lax.psum(bp_loc, axes)
-        S_cross = jax.lax.psum(S_cross_loc, axes)
-        bs_corr = jax.lax.psum(bs_corr_loc, axes)
+        Hpp = psum(Hpp_loc, axes)
+        bp = psum(bp_loc, axes)
+        S_cross = psum(S_cross_loc, axes)
+        bs_corr = psum(bs_corr_loc, axes)
 
         D6 = jnp.eye(6, dtype=Hpp.dtype)[None] * (
             damping + lam + einsum("kii->k", Hpp)[:, None, None] / 6.0 * lam
@@ -119,7 +124,7 @@ def build_distributed_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4):
             cc = _chi2(rr, obs_inv2, is_stereo)
             ee = jnp.sqrt(jnp.maximum(cc, 1e-12))
             rho = jnp.where(ee <= delta, cc, 2.0 * delta * ee - delta * delta)
-            return jax.lax.psum(jnp.sum(jnp.where(active, rho, 0.0)), axes)
+            return psum(jnp.sum(jnp.where(active, rho, 0.0)), axes)
 
         cost_old = cost_of(kf_R, kf_t, pt_pos)
         cost_new = cost_of(kf_R_new, kf_t_new, pt_new)
@@ -334,7 +339,8 @@ def build_pcg_ba_step(mesh: Mesh, fx, fy, cx, cy, bf, damping=1e-4,
 
 
 def distributed_ba(mesh, prob: LocalBAProblem, fx, fy, cx, cy, bf, iters=10,
-                   kf_sharded: bool = False, scatter_axis: str | None = None):
+                   kf_sharded: bool = False, scatter_axis: str | None = None,
+                   ablate_collectives: bool = False):
     """Run `iters` distributed LM iterations. Arrays are placed with the
     right shardings; returns updated (kf_R, kf_t, pt_pos, cost).
     kf_sharded=True uses the reduce-scatter + PCG camera solve (K must be
@@ -342,7 +348,9 @@ def distributed_ba(mesh, prob: LocalBAProblem, fx, fy, cx, cy, bf, iters=10,
     scatter_axis=HOST_AXIS to lay the camera-system scatter on DCN."""
     step = (build_pcg_ba_step(mesh, fx, fy, cx, cy, bf,
                               scatter_axis=scatter_axis) if kf_sharded
-            else build_distributed_ba_step(mesh, fx, fy, cx, cy, bf))
+            else build_distributed_ba_step(
+                mesh, fx, fy, cx, cy, bf,
+                ablate_collectives=ablate_collectives))
     axes = _point_axes(mesh)
     point_sharding = NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0]))
     rep_sharding = NamedSharding(mesh, P())

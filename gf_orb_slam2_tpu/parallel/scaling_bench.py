@@ -86,6 +86,11 @@ def main():
     ap.add_argument("--points", type=int, default=16384)
     ap.add_argument("--points-per-device", type=int, default=0)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--ablate-collectives", action="store_true",
+                    help="run identical per-device compute with the "
+                         "cross-device reductions removed (timing-only; "
+                         "separates collective cost from host "
+                         "oversubscription on the virtual mesh)")
     args = ap.parse_args()
 
     n_avail = len(jax.devices())
@@ -101,10 +106,12 @@ def main():
         prob = build_problem(P)
         mesh = make_mesh(n_dev)
         # warm (compile)
-        distributed_ba(mesh, prob, 450.0, 450.0, 320.0, 240.0, 45.0, iters=1)
+        distributed_ba(mesh, prob, 450.0, 450.0, 320.0, 240.0, 45.0,
+                       iters=1, ablate_collectives=args.ablate_collectives)
         t0 = time.perf_counter()
         out = distributed_ba(mesh, prob, 450.0, 450.0, 320.0, 240.0, 45.0,
-                             iters=args.iters)
+                             iters=args.iters,
+                             ablate_collectives=args.ablate_collectives)
         jax.block_until_ready(out[:3])
         dt = (time.perf_counter() - t0) / args.iters * 1e3
         row = {"devices": n_dev, "points": P, "ms_per_iter": round(dt, 2),

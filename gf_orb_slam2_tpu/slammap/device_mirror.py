@@ -105,6 +105,14 @@ class DeviceMapMirror:
             ))
         self._layouts = {}
         self._jits = {}
+        # defense in depth vs creation races: re-ship everything that already
+        # exists at the first sync (the r5 TPU stale-row bug class — a row
+        # written concurrently with this constructor would otherwise stay
+        # stale forever on the delta path; CPU full-refresh self-heals)
+        with store.lock:
+            live = np.nonzero(store.point_valid)[0]
+            if live.size:
+                self.dirty[live] = True
         _prewarm_async(self._prewarm)
 
     def _prewarm(self):
@@ -135,13 +143,17 @@ class DeviceMapMirror:
         def update(arrays, buf):
             u = lay.unpack_jnp(buf)
             idx = u["ids"]
-            ok = idx >= 0
-            idc = jnp.maximum(idx, 0)
 
+            # padding slots carry idx=-1 and are DROPPED by the scatter.
+            # NEVER clamp-and-merge them instead: `.at[max(idx,0)].set(...)`
+            # writes index 0 once with fresh data and once per padding slot
+            # with the STALE row — duplicate-index set() is last-write-wins
+            # in unspecified order, so slot 0 (the anchor KF / first point!)
+            # was silently reverted or scrambled on every partial-bucket
+            # sync. This was the r4/r5 TPU accuracy collapse (CPU uses the
+            # full-refresh path and never saw it).
             def scat(cur, new):
-                mask = ok.reshape((-1,) + (1,) * (new.ndim - 1))
-                merged = jnp.where(mask, new.astype(cur.dtype), cur[idc])
-                return cur.at[idc].set(merged)
+                return cur.at[idx].set(new.astype(cur.dtype), mode="drop")
 
             return {k: scat(arrays[k], u[k]) for k in self.FIELDS}
 
@@ -247,6 +259,10 @@ class DeviceKFMirror:
         self._row_layouts = {}
         self._row_jits = {}
         self._pose_jit = None
+        with store.lock:  # see DeviceMapMirror: re-ship pre-existing rows
+            live = np.nonzero(store.kf_valid)[0]
+            if live.size:
+                self.dirty_row[live] = True
         _prewarm_async(self._prewarm)
 
     def _prewarm(self):
@@ -302,13 +318,11 @@ class DeviceKFMirror:
             return
 
         def upd(arrays, ids, R, t):
-            ok = ids >= 0
-            idc = jnp.maximum(ids, 0)
+            # mode="drop" for idx=-1 padding — see the point-mirror scatter
+            # note (clamp-and-merge corrupts slot 0 via duplicate writes)
             out = dict(arrays)
-            out["R"] = arrays["R"].at[idc].set(
-                jnp.where(ok[:, None, None], R, arrays["R"][idc]))
-            out["t"] = arrays["t"].at[idc].set(
-                jnp.where(ok[:, None], t, arrays["t"][idc]))
+            out["R"] = arrays["R"].at[ids].set(R, mode="drop")
+            out["t"] = arrays["t"].at[ids].set(t, mode="drop")
             return out
 
         self._pose_jit = jax.jit(upd)
@@ -345,13 +359,11 @@ class DeviceKFMirror:
         def update(arrays, buf):
             u = lay.unpack_jnp(buf)
             idx = u["ids"]
-            ok = idx >= 0
-            idc = jnp.maximum(idx, 0)
 
+            # mode="drop" for idx=-1 padding — see the point-mirror scatter
+            # note (clamp-and-merge corrupts row 0 via duplicate writes)
             def scat(cur, new):
-                mask = ok.reshape((-1,) + (1,) * (new.ndim - 1))
-                merged = jnp.where(mask, new.astype(cur.dtype), cur[idc])
-                return cur.at[idc].set(merged)
+                return cur.at[idx].set(new.astype(cur.dtype), mode="drop")
 
             return {k: scat(arrays[k], u[k]) for k in self.FIELDS}
 

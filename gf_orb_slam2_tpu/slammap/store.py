@@ -30,6 +30,24 @@ import numpy as np
 from gf_orb_slam2_tpu.config import CapacityConfig
 
 
+def _locked(fn):
+    """Store mutators self-lock (RLock — reentrant under callers that already
+    hold it): the r5 TPU arc collapse traced to a TOCTOU between an UNLOCKED
+    add_keyframe on the tracker path and DeviceKFMirror construction on the
+    prewarm thread — the mirror's initial copy missed the row AND the
+    mark_row check saw kf_mirror=None, leaving the row permanently stale on
+    the TPU delta-sync path (CPU full-refresh self-heals, which is why no
+    CPU test caught it)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(self, *a, **k):
+        with self.lock:
+            return fn(self, *a, **k)
+
+    return wrap
+
+
 @dataclasses.dataclass
 class MapStore:
     cap: CapacityConfig
@@ -126,6 +144,7 @@ class MapStore:
         self.kf_mirror = None  # DeviceKFMirror (mapper/loop device programs)
 
     # ------------------------------------------------------------ keyframes
+    @_locked
     def add_keyframe(
         self, R, t, uv, octave, angle, desc, u_right, depth, kp_valid,
         frame_id=0, timestamp=0.0,
@@ -157,6 +176,7 @@ class MapStore:
             self.kf_mirror.mark_row(k)
         return k
 
+    @_locked
     def set_kf_pose(self, k, R, t):
         self.kf_R[k] = R
         self.kf_t[k] = t
@@ -169,6 +189,7 @@ class MapStore:
         t = self.kf_t[k]
         return -np.einsum("...ji,...j->...i", R, t)
 
+    @_locked
     def erase_keyframe(self, k: int):
         """KeyFrame::SetBadFlag (reference: src/KeyFrame.cc:761): detach all
         observations, reconnect children to the best-covisible parent."""
@@ -213,6 +234,7 @@ class MapStore:
         self._free[tail] = p
         self._n_free += 1
 
+    @_locked
     def add_point(self, pos, desc, first_kf=-1, normal=None, min_dist=0.1, max_dist=100.0) -> int:
         p = int(self._alloc_points(1)[0])
         self.point_pos[p] = pos
@@ -233,12 +255,14 @@ class MapStore:
         self.mark_dirty(p)
         return p
 
+    @_locked
     def mark_dirty(self, ids):
         """Record point-data changes for the device map mirror (if attached;
         slammap/device_mirror.py)."""
         if self.mirror is not None:
             self.mirror.mark(np.atleast_1d(ids))
 
+    @_locked
     def add_points_batch(self, pos, desc, first_kf, kf_ids, kp_idx) -> np.ndarray:
         """Vectorized creation of M points each observed by (kf_ids[m], kp_idx[m]).
         One fancy-indexed write per array — no per-point Python (the per-frame
@@ -269,6 +293,7 @@ class MapStore:
         self.mark_dirty(ids)
         return ids
 
+    @_locked
     def add_observations_batch(self, p_ids, kf: int, idxs):
         """Vectorized add_observation for M (point, keypoint-slot) pairs all
         observed by ONE keyframe `kf` (the per-KF binding loop of
@@ -290,6 +315,7 @@ class MapStore:
         for j in np.nonzero(~fast)[0]:
             self.add_observation(int(p_ids[j]), kf, int(idxs[j]))
 
+    @_locked
     def add_observation(self, p: int, kf: int, idx: int):
         slots = self.obs_kf[p]
         existing = np.nonzero(slots == kf)[0]
@@ -319,6 +345,7 @@ class MapStore:
             self.obs_idx[p, s] = idx
         self.kf_point[kf, idx] = p
 
+    @_locked
     def remove_observation(self, p: int, kf: int):
         slots = np.nonzero(self.obs_kf[p] == kf)[0]
         if not slots.size:
@@ -335,6 +362,7 @@ class MapStore:
         if self.point_nobs[p] <= 0:
             self.erase_point(p)
 
+    @_locked
     def erase_point(self, p: int):
         if not self.point_valid[p]:
             return
@@ -349,6 +377,7 @@ class MapStore:
         self.n_points -= 1
         self._free_point(p)
 
+    @_locked
     def replace_point(self, p_old: int, p_new: int):
         """MapPoint::Replace (reference: src/MapPoint.cc:306): transfer
         observations, merge counters, tombstone the old id."""

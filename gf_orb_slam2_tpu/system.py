@@ -329,7 +329,9 @@ class System:
         if self.store.mirror is None:
             from gf_orb_slam2_tpu.slammap.device_mirror import DeviceMapMirror
 
-            self.store.mirror = DeviceMapMirror(self.store)
+            with self.store.lock:  # vs prewarm-thread creation (TOCTOU)
+                if self.store.mirror is None:
+                    self.store.mirror = DeviceMapMirror(self.store)
         if tr._chain is None:
             tr._chain = tr.stream_bootstrap_chain()
         # complete the oldest in-flight frame FIRST so its bookkeeping (pool

@@ -90,7 +90,7 @@ def _score_h(H, uv1, uv2, valid, sigma2=SIGMA**2):
 
     def transfer(M, a):
         ah = jnp.concatenate([a, jnp.ones_like(a[:, :1])], -1)
-        b = ah @ M.T
+        b = matmul(ah, M.T)
         return b[:, :2] / jnp.where(jnp.abs(b[:, 2:]) < 1e-9, 1e-9, b[:, 2:])
 
     e12 = jnp.sum((transfer(H, uv1) - uv2) ** 2, -1) / sigma2
@@ -139,7 +139,7 @@ def _decompose_E(E):
 def _decompose_H(H, K):
     """H → 8 candidate (R, t) via the SVD method (Faugeras; reference:
     ReconstructH Initializer.cc:577)."""
-    A = jnp.linalg.inv(K) @ H @ K
+    A = matmul(matmul(jnp.linalg.inv(K), H), K)
     U, w, Vt = jnp.linalg.svd(A)
     s = jnp.linalg.det(U) * jnp.linalg.det(Vt)
     d1, d2, d3 = w[0], w[1], w[2]

@@ -11,6 +11,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from gf_orb_slam2_tpu.utils.precision import einsum
+
 from gf_orb_slam2_tpu.geometry import lie
 
 
@@ -41,7 +43,7 @@ def project_points(
         (u >= border) & (u < width - border) & (v >= border) & (v < height - border)
     )
     # distance from camera center in world frame
-    center = -jnp.einsum("ji,j->i", R, t)
+    center = -einsum("ji,j->i", R, t)
     pv = pos - center
     dist = jnp.linalg.norm(pv, axis=-1)
     range_ok = (dist >= 0.8 * min_dist) & (dist <= 1.2 * max_dist)

@@ -561,13 +561,17 @@ class Tracker:
             lf.R = R_new
         if self._chain is not None:
             if self._rebase_jit is None:
+                from gf_orb_slam2_tpu.utils.precision import einsum as _es
+                from gf_orb_slam2_tpu.utils.precision import matmul as _mm
+
                 def reb(chain, Rd, td):
                     out = dict(chain)
                     for k in ("1", "2"):
-                        Rn = chain["R" + k] @ Rd.T
+                        Rn = _mm(chain["R" + k], Rd.T)
                         out["R" + k] = Rn
-                        out["t" + k] = chain["t" + k] - Rn @ td
-                    out["pt_pos"] = chain["pt_pos"] @ Rd.T + td
+                        out["t" + k] = chain["t" + k] - _mm(
+                            Rn, td[:, None])[:, 0]
+                    out["pt_pos"] = _es("ni,ji->nj", chain["pt_pos"], Rd) + td
                     return out
 
                 self._rebase_jit = jax.jit(reb)

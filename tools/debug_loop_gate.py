@@ -63,7 +63,7 @@ def run_arm(arm: str):
     lc = slam.loop_closer
     dumps = []
     if lc is not None:
-        if arm in ("no_eg", "rigid", "a_rigid"):
+        if arm in ("no_eg", "rigid", "a_rigid", "a_noeg"):
             lc._optimize_essential_graph = lambda *a, **k: None
         if arm in ("no_gba", "rigid", "a_rigid"):
             lc._launch_global_ba = lambda *a, **k: None
@@ -102,6 +102,9 @@ def run_arm(arm: str):
             mw = slam._map_worker
             if throttle and mw is not None and mw._q.qsize() >= 2:
                 mw.wait_idle()
+            lw = slam._loop_worker
+            if throttle and lw is not None and lw._q.qsize() >= 2:
+                lw.wait_idle()
         else:
             slam.track_stereo(l, r, i / 20.0)
         gt[i / 20.0] = -R_cw.T @ t_cw
